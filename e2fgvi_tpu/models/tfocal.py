@@ -1,0 +1,352 @@
+"""Temporal focal transformer stack (soft split / focal window attention /
+soft composition / F3N feed-forward), JAX/NHWC.
+
+Re-design of the reference tfocal_transformer[_hq].py for TPU:
+
+- Soft split = patch extraction + ONE token-embedding GEMM (the reference's
+  Unfold + Linear pair); soft composition = GEMM + overlap-add fold.
+- Focal window attention is pure batched GEMMs over static windows:
+  own-window keys, 4 diagonally rolled key sets (static valid-index gather),
+  and one pooled coarse level (fc pooling + static unfold). All index maps
+  and boundary masks are numpy constants baked at trace time.
+- Hidden layout note: the F3N feed-forward interprets its 1960 hidden units
+  as (kernel-position, channel) patches; we store them (k-major, c-minor) —
+  the opposite of torch's (c-major) — so fold/unfold need no runtime
+  permutes. The checkpoint converter permutes fc1/fc2 accordingly.
+
+Static geometry: at the base config the token grid is 20x36, windows (5, 9),
+expand (2, 4), one pooled focal level of 4x4 cells unfolded to 45 keys per
+window (reference shapes tfocal_transformer.py:227-357). All of it
+generalizes to any grid that tiles into (5, 9) windows (the HQ path pads
+inputs so this always holds).
+"""
+
+import math
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e2fgvi_tpu.ops.convs import layer_norm, linear, gelu
+from e2fgvi_tpu.ops.patches import unfold, fold, fold_normalized, unfold_shape
+
+T2T_KERNEL = (7, 7)
+T2T_STRIDE = (3, 3)
+T2T_PADDING = (3, 3)
+
+
+# ---------------------------------------------------------------------------
+# Soft split / soft composition
+# ---------------------------------------------------------------------------
+
+def token_grid(output_size):
+    """Token-grid size for a feature map of `output_size` (torch Unfold
+    arithmetic with the t2t kernel/stride/padding)."""
+    return unfold_shape(output_size[0], output_size[1], T2T_KERNEL,
+                        T2T_STRIDE, T2T_PADDING)
+
+
+def soft_split(params, x, b):
+    """x: (B*T, H, W, C) features -> (B, T, f_h, f_w, hidden) tokens."""
+    bt, h, w, c = x.shape
+    p = unfold(x, T2T_KERNEL, T2T_STRIDE, T2T_PADDING)
+    lh, lw = p.shape[1], p.shape[2]
+    p = p.reshape(bt, lh, lw, -1)                 # (kh*kw*C), k-major
+    tok = linear(p, params["embedding"]["w"], params["embedding"]["b"])
+    return tok.reshape(b, bt // b, lh, lw, tok.shape[-1])
+
+
+def soft_comp(params, tokens, t, output_size):
+    """tokens: (B, T, f_h, f_w, hidden) -> (B*T, H, W, C) features.
+
+    Base model adds a learned bias map (params['bias'] of shape (H, W, C));
+    the HQ model instead applies a 3x3 conv (params['bias_conv']).
+    """
+    b, tt, lh, lw, hidden = tokens.shape
+    assert tt == t
+    feat = linear(tokens, params["embedding"]["w"], params["embedding"]["b"])
+    kh, kw = T2T_KERNEL
+    c = feat.shape[-1] // (kh * kw)
+    feat = feat.reshape(b * t, lh, lw, kh, kw, c)
+    out = fold(feat, output_size, T2T_KERNEL, T2T_STRIDE, T2T_PADDING)
+    if "bias" in params:
+        out = out + params["bias"][None]
+    else:
+        from e2fgvi_tpu.ops.convs import conv2d
+        out = conv2d(out, params["bias_conv"]["w"], params["bias_conv"]["b"],
+                     padding=1)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Window geometry helpers (all static numpy, cached per shape)
+# ---------------------------------------------------------------------------
+
+def _window_partition(x, wh, ww):
+    """(B, T, H, W, C) -> (B*nWin, T, wh, ww, C), windows row-major."""
+    b, t, h, w, c = x.shape
+    x = x.reshape(b, t, h // wh, wh, w // ww, ww, c)
+    x = x.transpose(0, 2, 4, 1, 3, 5, 6)
+    return x.reshape(b * (h // wh) * (w // ww), t, wh, ww, c)
+
+
+def _window_reverse(wins, wh, ww, b, t, h, w):
+    c = wins.shape[-1]
+    x = wins.reshape(b, h // wh, w // ww, t, wh, ww, c)
+    x = x.transpose(0, 3, 1, 4, 2, 5, 6)
+    return x.reshape(b, t, h, w, c)
+
+
+@lru_cache(maxsize=32)
+def _rolled_valid_idx(wh, ww, eh, ew):
+    """Indices of the out-of-own-window positions within the 4 rolled key
+    sets (reference valid_ind_rolled buffer, tfocal_transformer.py:167-180).
+
+    Returns int array indexing into a (4*wh*ww,) axis of stacked rolled
+    windows ordered [tl, tr, bl, br]."""
+    masks = []
+    for sy, sx in ((1, 1), (1, 0), (0, 1), (0, 0)):  # tl, tr, bl, br
+        m = np.ones((wh, ww), np.bool_)
+        ys = slice(None, -eh) if sy else slice(eh, None)
+        xs = slice(None, -ew) if sx else slice(ew, None)
+        m[ys, xs] = False
+        masks.append(m)
+    flat = np.stack(masks, 0).reshape(-1)
+    return np.nonzero(flat)[0].astype(np.int32)
+
+
+@lru_cache(maxsize=32)
+def _pooled_key_mask(nwh, nww, kh, kw, ph, pw):
+    """Additive bias (-100 outside the pooled grid) for the unfolded pooled
+    keys; (nWin, kh*kw) float32 (reference tfocal_transformer.py:300-316)."""
+    iy = np.arange(nwh)[:, None, None, None]
+    ix = np.arange(nww)[None, :, None, None]
+    ay = np.arange(kh)[None, None, :, None]
+    ax = np.arange(kw)[None, None, None, :]
+    cy = iy + ay - ph
+    cx = ix + ax - pw
+    valid = (cy >= 0) & (cy < nwh) & (cx >= 0) & (cx < nww)
+    valid = valid.reshape(nwh * nww, kh * kw)
+    return np.where(valid, 0.0, -100.0).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Focal window attention
+# ---------------------------------------------------------------------------
+
+def window_attention(params, x, pooled, num_heads, window_size, expand_size):
+    """Focal attention over temporal windows.
+
+    Args:
+      x: (B, T, H, W, C) normalized tokens.
+      pooled: (B, nWh, nWw, T, C) pooled coarse tokens (focal level 1),
+        or None when focal_level <= 1.
+    Returns:
+      (B*nWin, T*wh*ww, C) attended tokens.
+    """
+    b, t, h, w, c = x.shape
+    wh, ww = window_size
+    eh, ew = expand_size
+    hd = c // num_heads
+    scale = hd ** -0.5
+    nwin = (h // wh) * (w // ww)
+
+    qkv = linear(x, params["qkv"]["w"], params["qkv"]["b"])
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads_of(wins):
+        # (B*nWin, T, n, C) -> (B*nWin, heads, T*n, hd)
+        bw, tt, nn, _ = wins.shape
+        y = wins.reshape(bw, tt * nn, num_heads, hd)
+        return y.transpose(0, 2, 1, 3)
+
+    def part(z):
+        return _window_partition(z, wh, ww).reshape(b * nwin, t, wh * ww, c)
+
+    q_win = heads_of(part(q)) * scale
+    k_win = heads_of(part(k))
+    v_win = heads_of(part(v))
+
+    # --- rolled (expanded) keys -------------------------------------------
+    if eh > 0 or ew > 0:
+        vidx = jnp.asarray(_rolled_valid_idx(wh, ww, eh, ew))
+
+        def rolled(z):
+            outs = []
+            for sy, sx in ((-eh, -ew), (-eh, ew), (eh, -ew), (eh, ew)):
+                zr = jnp.roll(z, shift=(sy, sx), axis=(2, 3))
+                outs.append(part(zr))
+            r = jnp.concatenate(outs, axis=2)        # (B*nWin, T, 4*wh*ww, C)
+            r = jnp.take(r, vidx, axis=2)            # keep out-of-window only
+            return heads_of(r)
+
+        k_all = jnp.concatenate([k_win, rolled(k)], axis=2)
+        v_all = jnp.concatenate([v_win, rolled(v)], axis=2)
+    else:
+        k_all, v_all = k_win, v_win
+
+    key_bias = [jnp.zeros((1, k_all.shape[2]), jnp.float32)]
+
+    # --- pooled coarse keys (focal level 1) --------------------------------
+    if pooled is not None:
+        nwh, nww = pooled.shape[1], pooled.shape[2]
+        pk = (2 * (wh // 2) + 1, 2 * (ww // 2) + 1)
+        pp = (pk[0] // 2, pk[1] // 2)
+        pq = linear(pooled, params["qkv"]["w"], params["qkv"]["b"])
+        _, kp, vp = jnp.split(pq, 3, axis=-1)        # (B, nWh, nWw, T, C)
+
+        def pooled_keys(z):
+            z = z.transpose(0, 3, 1, 2, 4).reshape(b * t, nwh, nww, c)
+            u = unfold(z, pk, 1, pp)                 # (B*T, nWh, nWw, kh,kw,C)
+            u = u.reshape(b, t, nwh * nww, pk[0] * pk[1], c)
+            u = u.transpose(0, 2, 1, 3, 4).reshape(b * nwh * nww, t,
+                                                   pk[0] * pk[1], c)
+            return heads_of(u)                       # (B*nWin, heads, T*kk, hd)
+
+        k_all = jnp.concatenate([k_all, pooled_keys(kp)], axis=2)
+        v_all = jnp.concatenate([v_all, pooled_keys(vp)], axis=2)
+        pm = jnp.asarray(_pooled_key_mask(nwh, nww, pk[0], pk[1], *pp))
+        # key ordering is (t, kk) t-major; bias is per (window, kk)
+        pmt = jnp.tile(pm[:, None, :], (1, t, 1)).reshape(nwh * nww, -1)
+        key_bias.append(pmt)
+
+    # assemble additive bias over the full key axis: (nWin, Nk)
+    own_len = key_bias[0].shape[1]
+    if pooled is not None:
+        bias_full = jnp.concatenate(
+            [jnp.zeros((nwin, own_len), jnp.float32), key_bias[1]], axis=1)
+    else:
+        bias_full = jnp.zeros((nwin, own_len), jnp.float32)
+
+    attn = jnp.einsum("bhqd,bhkd->bhqk", q_win, k_all,
+                      preferred_element_type=jnp.float32)
+    bias_b = jnp.tile(bias_full, (b, 1))[:, None, None, :]
+    attn = attn + bias_b
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v_all,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = out.transpose(0, 2, 1, 3).reshape(b * nwin, t * wh * ww, c)
+    return linear(out, params["proj"]["w"], params["proj"]["b"])
+
+
+# ---------------------------------------------------------------------------
+# F3N fusion feed-forward
+# ---------------------------------------------------------------------------
+
+def fusion_feed_forward(params, x, t, output_size):
+    """x: (B, N, C) tokens; overlap-renormalized token mixing (F3N).
+
+    Hidden units are laid out (kernel-position, channel) so the fold/unfold
+    is a pure reshape (see module docstring).
+    """
+    b, n, c = x.shape
+    hid = linear(x, params["fc1"]["w"], params["fc1"]["b"])  # (B, N, 1960)
+    hd = hid.shape[-1]
+    kh, kw = T2T_KERNEL
+    cc = hd // (kh * kw)                                      # 40
+    lh, lw = token_grid(output_size)
+    n_vecs = lh * lw
+    p = hid.reshape(b * (n // n_vecs), lh, lw, kh, kw, cc)
+    y = fold_normalized(p, output_size, T2T_KERNEL, T2T_STRIDE, T2T_PADDING)
+    y = unfold(y, T2T_KERNEL, T2T_STRIDE, T2T_PADDING)
+    y = y.reshape(b, n, hd)
+    y = gelu(y)
+    return linear(y, params["fc2"]["w"], params["fc2"]["b"])
+
+
+# ---------------------------------------------------------------------------
+# Transformer block + stack
+# ---------------------------------------------------------------------------
+
+def _pool_level(params, x, window_size):
+    """fc-pool each (wh, ww) window to one token (focal level 1).
+
+    x: (B, T, H, W, C) -> (B, nWh, nWw, T, C). Pads/trims H, W to tile
+    exactly (reference tfocal_transformer.py:478-519)."""
+    b, t, h, w, c = x.shape
+    wh, ww = window_size
+    hp = math.ceil(h / wh) * wh
+    wp = math.ceil(w / ww) * ww
+    if h != hp:
+        if h > hp:
+            tr = (h - hp) // 2
+            x = x[:, :, tr: tr + hp]
+        else:
+            pt = (hp - h) // 2
+            x = jnp.pad(x, ((0, 0), (0, 0), (pt, hp - h - pt), (0, 0),
+                            (0, 0)))
+    if w != wp:
+        if w > wp:
+            tr = (w - wp) // 2
+            x = x[:, :, :, tr: tr + wp]
+        else:
+            pl = (wp - w) // 2
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (pl, wp - w - pl),
+                            (0, 0)))
+    nwh, nww = hp // wh, wp // ww
+    xw = x.reshape(b, t, nwh, wh, nww, ww, c)
+    xw = xw.transpose(0, 2, 4, 1, 6, 3, 5).reshape(b, nwh, nww, t, c,
+                                                   wh * ww)
+    pooled = linear(xw, params["pool"]["w"], params["pool"]["b"])
+    return pooled[..., 0]                              # (B, nWh, nWw, T, C)
+
+
+def transformer_block(params, x, output_size, num_heads=4,
+                      window_size=(5, 9), focal_level=2):
+    """One temporal focal transformer block. x: (B, T, fh, fw, C)."""
+    b, t, h, w, c = x.shape
+    wh, ww = window_size
+    expand = (wh // 2, ww // 2)
+
+    shortcut = x
+    xn = layer_norm(x, params["norm1"]["g"], params["norm1"]["b"])
+    pooled = _pool_level(params, xn, window_size) if focal_level > 1 else None
+    attn = window_attention(params["attn"], xn, pooled, num_heads,
+                            window_size, expand)
+    attn = attn.reshape(b * (h // wh) * (w // ww), t, wh, ww, c)
+    x = shortcut + _window_reverse(attn, wh, ww, b, t, h, w)
+
+    y = layer_norm(x, params["norm2"]["g"], params["norm2"]["b"])
+    y = fusion_feed_forward(params["mlp"], y.reshape(b, t * h * w, c), t,
+                            output_size)
+    return x + y.reshape(b, t, h, w, c)
+
+
+def transformer_stack(params_list, x, output_size, num_heads=4,
+                      window_size=(5, 9), focal_level=2):
+    for p in params_list:
+        x = transformer_block(p, x, output_size, num_heads, window_size,
+                              focal_level)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def _linear_init(key, cin, cout, gain=0.02, dtype=jnp.float32):
+    k1, _ = jax.random.split(key)
+    return {"w": (jax.random.normal(k1, (cin, cout)) * gain).astype(dtype),
+            "b": jnp.zeros((cout,), dtype)}
+
+
+def init_block_params(key, dim=512, window_size=(5, 9), d_ff=1960,
+                      dtype=jnp.float32):
+    keys = jax.random.split(key, 6)
+    wa = window_size[0] * window_size[1]
+    return {
+        "norm1": {"g": jnp.ones((dim,), dtype), "b": jnp.zeros((dim,), dtype)},
+        "norm2": {"g": jnp.ones((dim,), dtype), "b": jnp.zeros((dim,), dtype)},
+        "attn": {
+            "qkv": _linear_init(keys[0], dim, 3 * dim, dtype=dtype),
+            "proj": _linear_init(keys[1], dim, dim, dtype=dtype),
+        },
+        "mlp": {
+            "fc1": _linear_init(keys[2], dim, d_ff, dtype=dtype),
+            "fc2": _linear_init(keys[3], d_ff, dim, dtype=dtype),
+        },
+        # fc pooling init: mean pooling (reference tf.py:448-450)
+        "pool": {"w": jnp.full((wa, 1), 1.0 / wa, dtype),
+                 "b": jnp.zeros((1,), dtype)},
+    }

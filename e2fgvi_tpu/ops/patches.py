@@ -1,0 +1,100 @@
+"""Patch extraction (im2col) and overlap-add composition (col2im).
+
+Replaces torch ``nn.Unfold`` / ``nn.Fold`` (ATen; used by the reference soft
+split / soft composition and the F3N feed-forward — tfocal_transformer.py:24,
+56-59, 84-86) with XLA-native formulations:
+
+- `unfold` is a stack of static strided slices over a padded input, exposed as
+  an explicit (kh, kw) patch grid. XLA fuses the slices; downstream, the patch
+  axis feeds a single GEMM (the token embedding), which is the MXU-friendly
+  shape of the reference's Unfold + Linear pair.
+- `fold` is the exact linear adjoint of `unfold`, obtained via
+  `jax.linear_transpose`. torch's Fold is defined as the adjoint of Unfold
+  (overlap-add), so this matches bit-for-bit up to f32 summation order.
+
+Layout convention: channel-last patches (N, Lh, Lw, kh, kw, C). torch's
+Unfold flattens channels c-major (c*kh*kw + i*kw + j); converters reorder
+weights once at load time instead of transposing activations at runtime.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _norm2(v):
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+def unfold_shape(h: int, w: int, kernel, stride, padding):
+    kh, kw = _norm2(kernel)
+    sh, sw = _norm2(stride)
+    ph, pw = _norm2(padding)
+    lh = (h + 2 * ph - kh) // sh + 1
+    lw = (w + 2 * pw - kw) // sw + 1
+    return lh, lw
+
+
+def unfold(x: jnp.ndarray, kernel, stride=1, padding=0) -> jnp.ndarray:
+    """Extract sliding patches.
+
+    Args:
+      x: (N, H, W, C).
+    Returns:
+      (N, Lh, Lw, kh, kw, C) where Lh/Lw follow torch's Unfold formula.
+    """
+    kh, kw = _norm2(kernel)
+    sh, sw = _norm2(stride)
+    ph, pw = _norm2(padding)
+    n, h, w, c = x.shape
+    lh, lw = unfold_shape(h, w, (kh, kw), (sh, sw), (ph, pw))
+    xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    rows = []
+    for i in range(kh):
+        cols = []
+        for j in range(kw):
+            sl = xp[:, i: i + (lh - 1) * sh + 1: sh,
+                    j: j + (lw - 1) * sw + 1: sw, :]
+            cols.append(sl)
+        rows.append(jnp.stack(cols, axis=3))          # (N, Lh, Lw, kw, C)
+    return jnp.stack(rows, axis=3)                    # (N, Lh, Lw, kh, kw, C)
+
+
+def fold(patches: jnp.ndarray, output_size, kernel, stride=1,
+         padding=0) -> jnp.ndarray:
+    """Overlap-add patches back to an image (torch Fold semantics: sum).
+
+    Args:
+      patches: (N, Lh, Lw, kh, kw, C).
+      output_size: (H, W).
+    Returns:
+      (N, H, W, C).
+    """
+    h, w = output_size
+    n, lh, lw, kh, kw, c = patches.shape
+    f = partial(unfold, kernel=kernel, stride=stride, padding=padding)
+    example = jax.ShapeDtypeStruct((n, h, w, c), patches.dtype)
+    (out,) = jax.linear_transpose(f, example)(patches)
+    return out
+
+
+def fold_counts(output_size, kernel, stride, padding, dtype=jnp.float32):
+    """fold(ones): per-pixel patch coverage counts, shape (H, W, 1).
+
+    Static for static shapes — XLA constant-folds it under jit. Used by the
+    F3N feed-forward normalization (reference tfocal_transformer.py:92-96).
+    """
+    h, w = output_size
+    lh, lw = unfold_shape(h, w, kernel, stride, padding)
+    kh, kw = _norm2(kernel)
+    ones = jnp.ones((1, lh, lw, kh, kw, 1), dtype=dtype)
+    return fold(ones, output_size, kernel, stride, padding)[0]
+
+
+def fold_normalized(patches: jnp.ndarray, output_size, kernel, stride=1,
+                    padding=0) -> jnp.ndarray:
+    """fold(patches) / fold(ones) — mean overlap-add."""
+    out = fold(patches, output_size, kernel, stride, padding)
+    cnt = fold_counts(output_size, kernel, stride, padding, dtype=out.dtype)
+    return out / cnt[None]
