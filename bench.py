@@ -1,0 +1,104 @@
+"""Headline benchmark: end-to-end inpainting throughput at 432x240.
+
+Runs the reference's de-facto smoke config (the 70-frame tennis example,
+neighbor_stride 5, ref stride 10 — BASELINE.json config #1) through the
+batched sliding-window pipeline on the default JAX device and reports
+frames/sec vs the reference's 0.12 s/frame Titan-XP baseline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Env knobs:
+  E2FGVI_BENCH_DTYPE=float32|bfloat16  (default bfloat16 compute)
+  E2FGVI_BENCH_BATCH=N                 (windows per forward, default 8)
+  E2FGVI_BENCH_FRAMES=N                (synthetic video length, default 70)
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+from e2fgvi_tpu.utils import env
+
+BASELINE_SEC_PER_FRAME = 0.12  # reference README.md:79 (Titan XP)
+
+
+def _load_tennis(size):
+    ex = "/root/reference/examples"
+    frames_dir = os.path.join(ex, "tennis")
+    masks_dir = os.path.join(ex, "tennis_mask")
+    if not os.path.isdir(frames_dir):
+        return None
+    from e2fgvi_tpu.data import readers
+    frames_pil = readers.read_frames_from_dir(frames_dir, size)
+    masks = readers.read_masks_from_dir(masks_dir, size)
+    frames = readers.frames_to_array(frames_pil)
+    orig = np.stack([np.asarray(f, np.uint8) for f in frames_pil])
+    binary = np.stack(masks)[..., None]
+    return frames, binary.astype(np.float32), orig, binary
+
+
+def _synthetic(size, n):
+    rng = np.random.default_rng(0)
+    w, h = size
+    frames = rng.uniform(-1, 1, (n, h, w, 3)).astype(np.float32)
+    masks = np.zeros((n, h, w, 1), np.uint8)
+    masks[:, h // 4: h // 2, w // 4: w // 2] = 1
+    orig = ((frames + 1) * 127.5).astype(np.uint8)
+    return frames, masks.astype(np.float32), orig, masks
+
+
+def main():
+    # default to the fast path for the benchmark; correctness-critical runs
+    # keep the 'highest' default from env.setup()
+    os.environ.setdefault("E2FGVI_MATMUL_PRECISION", "default")
+    env.setup()
+    import jax
+    import jax.numpy as jnp
+    from e2fgvi_tpu.data.pipeline import SlidingWindowInpainter
+    from e2fgvi_tpu.models import e2fgvi
+
+    size = (432, 240)
+    data = _load_tennis(size)
+    if data is None:
+        data = _synthetic(size, int(os.environ.get("E2FGVI_BENCH_FRAMES",
+                                                   "70")))
+    frames, masks, orig, binary = data
+    n_frames = frames.shape[0]
+
+    params = e2fgvi.init_params(jax.random.PRNGKey(0), variant="base")
+    dtype = (jnp.bfloat16
+             if os.environ.get("E2FGVI_BENCH_DTYPE", "bfloat16")
+             == "bfloat16" else jnp.float32)
+    if dtype == jnp.bfloat16:
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "astype") and x.dtype == jnp.float32 else x,
+            params)
+    runner = SlidingWindowInpainter(
+        params, e2fgvi.generator_forward,
+        max_batch=int(os.environ.get("E2FGVI_BENCH_BATCH", "8")),
+        dtype=dtype)
+
+    # warmup (compile all window geometries)
+    runner(frames, masks, orig, binary)
+
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        runner(frames, masks, orig, binary)
+    dt = (time.time() - t0) / reps
+
+    fps = n_frames / dt
+    vs = fps / (1.0 / BASELINE_SEC_PER_FRAME)
+    print(json.dumps({
+        "metric": "frames_per_sec_432x240",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""Benchmark evaluation CLI — the framework's `evaluate.py` equivalent.
+
+DAVIS / YouTube-VOS loop with the exact reference protocol
+(evaluate.py:16-106): 432x240, neighbor_stride 5, ref stride 10, dilated
+masks, composite-then-metric, 50/50 overlap blend. Reports per-video and
+average PSNR/SSIM and dataset-level VFID (I3D), and writes
+results/<model>_<dataset>/<model>_<dataset>_metrics.txt in the reference
+format. --save_results dumps composited PNGs for external E_warp tooling.
+"""
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from e2fgvi_tpu.utils import env
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="E2FGVI-TPU evaluation")
+    p.add_argument("--dataset", choices=["davis", "youtube-vos"],
+                   required=True)
+    p.add_argument("--data_root", type=str, required=True)
+    p.add_argument("--model", choices=["e2fgvi", "e2fgvi_hq"],
+                   default="e2fgvi")
+    p.add_argument("--ckpt", type=str, required=True)
+    p.add_argument("--save_results", action="store_true", default=False)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--i3d_ckpt", type=str,
+                   default="release_model/i3d_rgb_imagenet.pt")
+    p.add_argument("--max_batch", type=int, default=4)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--random_weights", action="store_true")
+    p.add_argument("--limit_videos", type=int, default=None)
+    return p
+
+
+def main(argv=None):
+    env.setup()
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from e2fgvi_tpu.data.datasets import TestDataset
+    from e2fgvi_tpu.data.pipeline import SlidingWindowInpainter
+    from e2fgvi_tpu.data.video import write_frames
+    from e2fgvi_tpu.eval import metrics
+    from e2fgvi_tpu.models import i3d
+    from e2fgvi_tpu.models.e2fgvi import generator_forward
+    from e2fgvi_tpu.cli.inpaint import load_params
+
+    dataset = TestDataset(args.data_root, args.dataset)
+    if args.limit_videos:
+        dataset.video_names = dataset.video_names[: args.limit_videos]
+
+    params = load_params(args)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    runner = SlidingWindowInpainter(params, generator_forward,
+                                    max_batch=args.max_batch, dtype=dtype)
+
+    use_vfid = os.path.isfile(args.i3d_ckpt)
+    if use_vfid:
+        i3d_params = i3d.load_i3d(args.i3d_ckpt)
+        i3d_fn = jax.jit(i3d.i3d_features)
+    else:
+        print(f"[warn] I3D checkpoint not found at {args.i3d_ckpt}; "
+              "VFID will be skipped.")
+
+    result_path = os.path.join("results", f"{args.model}_{args.dataset}")
+    os.makedirs(result_path, exist_ok=True)
+    summary = open(os.path.join(
+        result_path, f"{args.model}_{args.dataset}_metrics.txt"), "w")
+
+    all_psnr, all_ssim = [], []
+    real_acts, fake_acts = [], []
+    t_start = time.time()
+    total_frames = 0
+
+    for vi in range(len(dataset)):
+        frames, masks, name, orig = dataset[vi]
+        binary = masks.astype(np.uint8)
+        comp = runner(frames, masks, orig, binary)
+        total_frames += len(comp)
+
+        v_psnr, v_ssim = [], []
+        for gt, pred in zip(orig, comp):
+            psnr, ssim = metrics.calc_psnr_and_ssim(
+                gt.astype(np.float64), pred.astype(np.float64))
+            v_psnr.append(psnr)
+            v_ssim.append(ssim)
+        all_psnr.extend(v_psnr)
+        all_ssim.extend(v_ssim)
+
+        if use_vfid:
+            gt01 = orig.astype(np.float32)[None] / 255.0
+            pd01 = np.stack(comp).astype(np.float32)[None] / 255.0
+            real_acts.append(np.asarray(i3d_fn(i3d_params, gt01)).ravel())
+            fake_acts.append(np.asarray(i3d_fn(i3d_params, pd01)).ravel())
+
+        line = (f"[{vi + 1:3}/{len(dataset)}] Name: {str([name]):25} | "
+                f"PSNR/SSIM: {np.mean(v_psnr):.4f}/{np.mean(v_ssim):.4f}")
+        print(line)
+        summary.write(line + "\n")
+
+        if args.save_results:
+            write_frames(os.path.join(result_path, name),
+                         [c.astype(np.uint8) for c in comp])
+
+    avg_psnr = float(np.mean(all_psnr))
+    avg_ssim = float(np.mean(all_ssim))
+    fid = metrics.calculate_vfid(real_acts, fake_acts) if use_vfid else \
+        float("nan")
+    dt = time.time() - t_start
+    tail = ("Finish evaluation... Average Frame PSNR/SSIM/VFID: "
+            f"{avg_psnr:.2f}/{avg_ssim:.4f}/{fid:.3f}")
+    print(tail)
+    print(f"[throughput] {total_frames / dt:.2f} frames/s end-to-end")
+    summary.write(tail)
+    summary.close()
+    return avg_psnr, avg_ssim, fid
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+"""Device mesh + sharding helpers.
+
+Replaces the reference's NCCL/DDP plumbing (train.py:29-35,
+core/trainer.py:70-81, core/dist.py) with JAX-native SPMD:
+
+- one `Mesh` over all chips with axes ('data', 'model'),
+- batch sharded on 'data' (the reference's DistributedSampler + DDP
+  all-reduce become a NamedSharding constraint; XLA emits the gradient
+  psum over ICI),
+- optionally, the transformer's wide GEMMs (qkv/proj/fc1/fc2 and the token
+  embeddings) sharded on 'model' for tensor parallelism — something the
+  reference has no analog for.
+
+Multi-host: call `initialize_distributed()` once per process (JAX
+coordination service replaces the reference's PMI/OpenMPI/Azure env-var
+rendezvous, core/dist.py:5-47).
+"""
+
+import os
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed():
+    """Multi-host init from standard env vars; no-op on a single host."""
+    if int(os.environ.get("E2FGVI_NUM_PROCESSES", "1")) > 1:
+        jax.distributed.initialize()
+
+
+def make_mesh(data: int | None = None, model: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // model
+    assert data * model == n, (data, model, n)
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device_put a host batch with the batch dim sharded over 'data'."""
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def generator_param_sharding(mesh: Mesh, params):
+    """NamedSharding pytree for generator params: transformer GEMMs sharded
+    on 'model' (output dim), everything else replicated.
+
+    With model=1 this degenerates to full replication (pure DP)."""
+    repl = replicated(mesh)
+    shard_out = NamedSharding(mesh, P(None, "model"))
+    shard_in = NamedSharding(mesh, P("model", None))
+
+    def assign(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+        if "transformer" in keys:
+            if "qkv" in keys or "fc1" in keys:
+                if keys[-1] == "w":
+                    return shard_out
+                return NamedSharding(mesh, P("model")) if leaf.ndim == 1 \
+                    else repl
+            if "proj" in keys or "fc2" in keys:
+                if keys[-1] == "w":
+                    return shard_in
+                return repl
+        return repl
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def shard_params(mesh: Mesh, params, sharding_tree=None):
+    if sharding_tree is None:
+        sharding_tree = generator_param_sharding(mesh, params)
+    return jax.tree.map(jax.device_put, params, sharding_tree)

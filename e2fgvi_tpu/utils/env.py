@@ -34,4 +34,5 @@ def setup(cache_dir: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass  # older jax without persistent cache knobs
-    jax.config.update("jax_default_matmul_precision", "highest")
+    precision = os.environ.get("E2FGVI_MATMUL_PRECISION", "highest")
+    jax.config.update("jax_default_matmul_precision", precision)
