@@ -34,6 +34,10 @@ def build_parser():
                    choices=["float32", "bfloat16"])
     p.add_argument("--random_weights", action="store_true")
     p.add_argument("--limit_videos", type=int, default=None)
+    # evaluation protocol size is fixed 432x240 (reference evaluate.py:16);
+    # override only for smoke tests
+    p.add_argument("--width", type=int, default=432)
+    p.add_argument("--height", type=int, default=240)
     return p
 
 
@@ -51,7 +55,8 @@ def main(argv=None):
     from e2fgvi_tpu.models.e2fgvi import generator_forward
     from e2fgvi_tpu.cli.inpaint import load_params
 
-    dataset = TestDataset(args.data_root, args.dataset)
+    dataset = TestDataset(args.data_root, args.dataset,
+                          size=(args.width, args.height))
     if args.limit_videos:
         dataset.video_names = dataset.video_names[: args.limit_videos]
 

@@ -100,7 +100,18 @@ class SlidingWindowInpainter:
         self.max_batch = max_batch
         self.pad_mod = pad_mod
         self.dtype = dtype
-        self._jit = jax.jit(forward, static_argnums=2)
+
+        def _windowed(params, masked_batch, n_local):
+            out = forward(params, masked_batch, n_local)
+            if isinstance(out, tuple):
+                out = out[0]
+            bsz, t = masked_batch.shape[0], masked_batch.shape[1]
+            out = out.reshape(bsz, t, *out.shape[1:])
+            # only the local (neighbor) frames are composited — slice on
+            # device to keep device->host transfer minimal
+            return out[:, :n_local].astype(jnp.float32)
+
+        self._jit = jax.jit(_windowed, static_argnums=2)
 
     def __call__(self, frames: np.ndarray, masks: np.ndarray,
                  orig_frames: np.ndarray, binary_masks: np.ndarray,
@@ -127,8 +138,9 @@ class SlidingWindowInpainter:
         for wi, p in enumerate(plans):
             groups.setdefault(p.geometry, []).append(wi)
 
-        preds = {}
-        done = 0
+        # dispatch all forwards first (jax dispatch is async), then pull —
+        # device compute overlaps the host-side transfers/compositing
+        pending = []
         for (t_total, n_local), wis in groups.items():
             for s in range(0, len(wis), self.max_batch):
                 chunk = wis[s: s + self.max_batch]
@@ -139,16 +151,17 @@ class SlidingWindowInpainter:
                         [batch] + [batch[-1:]] * (self.max_batch - pad_to), 0)
                 out = self._jit(self.params,
                                 jnp.asarray(batch, self.dtype), n_local)
-                if isinstance(out, tuple):
-                    out = out[0]
-                out = np.asarray(out, np.float32).reshape(
-                    batch.shape[0], t_total, *out.shape[1:])
-                for bi, wi in enumerate(chunk):
-                    preds[wi] = out[bi, : len(plans[wi].neighbors),
-                                    :h, :w]
-                done += len(chunk)
-                if progress is not None:
-                    progress(done, len(plans))
+                pending.append((chunk, out))
+
+        preds = {}
+        done = 0
+        for chunk, out in pending:
+            out = np.asarray(out)
+            for bi, wi in enumerate(chunk):
+                preds[wi] = out[bi, : len(plans[wi].neighbors), :h, :w]
+            done += len(chunk)
+            if progress is not None:
+                progress(done, len(plans))
 
         # composite + 50/50 overlap blend in pivot order (exact reference
         # semantics, test.py:168-179); fused native kernel when built

@@ -48,32 +48,45 @@ def token_grid(output_size):
 
 
 def soft_split(params, x, b):
-    """x: (B*T, H, W, C) features -> (B, T, f_h, f_w, hidden) tokens."""
+    """x: (B*T, H, W, C) features -> (B, T, f_h, f_w, hidden) tokens.
+
+    Unfold + token-embedding GEMM fused into ONE stride-3 convolution: the
+    embedding weight (kh*kw*C, hidden), stored k-major, reshapes directly to
+    an HWIO conv kernel (kh, kw, C, hidden). Replaces the reference's
+    nn.Unfold + nn.Linear pair (tfocal_transformer.py:19-46) with a single
+    MXU op."""
+    from e2fgvi_tpu.ops.convs import conv2d
     bt, h, w, c = x.shape
-    p = unfold(x, T2T_KERNEL, T2T_STRIDE, T2T_PADDING)
-    lh, lw = p.shape[1], p.shape[2]
-    p = p.reshape(bt, lh, lw, -1)                 # (kh*kw*C), k-major
-    tok = linear(p, params["embedding"]["w"], params["embedding"]["b"])
-    return tok.reshape(b, bt // b, lh, lw, tok.shape[-1])
+    kh, kw = T2T_KERNEL
+    wemb = params["embedding"]["w"]
+    hidden = wemb.shape[-1]
+    kconv = wemb.reshape(kh, kw, c, hidden)
+    tok = conv2d(x, kconv, params["embedding"]["b"], stride=T2T_STRIDE,
+                 padding=T2T_PADDING)
+    lh, lw = tok.shape[1], tok.shape[2]
+    return tok.reshape(b, bt // b, lh, lw, hidden)
 
 
 def soft_comp(params, tokens, t, output_size):
     """tokens: (B, T, f_h, f_w, hidden) -> (B*T, H, W, C) features.
 
+    One embedding GEMM (MXU) + overlap-add fold (the reference's Linear +
+    nn.Fold pair, tfocal_transformer.py:49-72).
+
     Base model adds a learned bias map (params['bias'] of shape (H, W, C));
     the HQ model instead applies a 3x3 conv (params['bias_conv']).
     """
+    from e2fgvi_tpu.ops.convs import conv2d
     b, tt, lh, lw, hidden = tokens.shape
     assert tt == t
-    feat = linear(tokens, params["embedding"]["w"], params["embedding"]["b"])
     kh, kw = T2T_KERNEL
+    feat = linear(tokens, params["embedding"]["w"], params["embedding"]["b"])
     c = feat.shape[-1] // (kh * kw)
     feat = feat.reshape(b * t, lh, lw, kh, kw, c)
     out = fold(feat, output_size, T2T_KERNEL, T2T_STRIDE, T2T_PADDING)
     if "bias" in params:
         out = out + params["bias"][None]
     else:
-        from e2fgvi_tpu.ops.convs import conv2d
         out = conv2d(out, params["bias_conv"]["w"], params["bias_conv"]["b"],
                      padding=1)
     return out

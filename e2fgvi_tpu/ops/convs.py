@@ -19,6 +19,8 @@ def conv2d(x, w, b=None, stride=1, padding=0, groups=1, dilation=1):
     s = _norm(stride, 2)
     p = _norm(padding, 2)
     d = _norm(dilation, 2)
+    if w.dtype != x.dtype:
+        w = w.astype(x.dtype)
     out = lax.conv_general_dilated(
         x, w,
         window_strides=s,
@@ -45,6 +47,8 @@ def conv3d(x, w, b=None, stride=1, padding=0):
         p = tuple((v, v) for v in padding)
     else:
         p = tuple(padding)
+    if w.dtype != x.dtype:
+        w = w.astype(x.dtype)
     out = lax.conv_general_dilated(
         x, w,
         window_strides=s,

@@ -17,14 +17,36 @@ Unfold flattens channels c-major (c*kh*kw + i*kw + j); converters reorder
 weights once at load time instead of transposing activations at runtime.
 """
 
-from functools import partial
+from functools import partial, lru_cache
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 
 def _norm2(v):
     return (v, v) if isinstance(v, int) else tuple(v)
+
+
+# Patch volumes up to this many channels run as a one-hot-kernel convolution
+# (pure MXU work) instead of 49 strided slices; above it the constant kernel
+# would be too large and the slice path wins.
+_MXU_UNFOLD_MAX_CHANNELS = 4096
+
+
+@lru_cache(maxsize=32)
+def _onehot_kernel(kh: int, kw: int, c: int) -> np.ndarray:
+    """(kh, kw, c, kh*kw*c) kernel with W[i,j,ch, (i*kw+j)*c + ch] = 1.
+
+    conv2d with this kernel IS unfold (k-major patch layout): turning the
+    patch-extraction memory op into an MXU contraction — the standard TPU
+    trade of FLOPs for layout work."""
+    w = np.zeros((kh, kw, c, kh * kw * c), np.float32)
+    for i in range(kh):
+        for j in range(kw):
+            for ch in range(c):
+                w[i, j, ch, (i * kw + j) * c + ch] = 1.0
+    return w
 
 
 def unfold_shape(h: int, w: int, kernel, stride, padding):
@@ -36,14 +58,9 @@ def unfold_shape(h: int, w: int, kernel, stride, padding):
     return lh, lw
 
 
-def unfold(x: jnp.ndarray, kernel, stride=1, padding=0) -> jnp.ndarray:
-    """Extract sliding patches.
-
-    Args:
-      x: (N, H, W, C).
-    Returns:
-      (N, Lh, Lw, kh, kw, C) where Lh/Lw follow torch's Unfold formula.
-    """
+def unfold_slices(x: jnp.ndarray, kernel, stride=1, padding=0) -> jnp.ndarray:
+    """Slice-based patch extraction (the `unfold` reference path; also the
+    closure whose linear transpose defines `fold`)."""
     kh, kw = _norm2(kernel)
     sh, sw = _norm2(stride)
     ph, pw = _norm2(padding)
@@ -61,6 +78,32 @@ def unfold(x: jnp.ndarray, kernel, stride=1, padding=0) -> jnp.ndarray:
     return jnp.stack(rows, axis=3)                    # (N, Lh, Lw, kh, kw, C)
 
 
+def unfold(x: jnp.ndarray, kernel, stride=1, padding=0) -> jnp.ndarray:
+    """Extract sliding patches.
+
+    Small patch volumes run as a one-hot-kernel convolution (MXU); large
+    ones fall back to strided slices.
+
+    Args:
+      x: (N, H, W, C).
+    Returns:
+      (N, Lh, Lw, kh, kw, C) where Lh/Lw follow torch's Unfold formula.
+    """
+    kh, kw = _norm2(kernel)
+    sh, sw = _norm2(stride)
+    ph, pw = _norm2(padding)
+    n, h, w, c = x.shape
+    lh, lw = unfold_shape(h, w, (kh, kw), (sh, sw), (ph, pw))
+
+    if kh * kw * c <= _MXU_UNFOLD_MAX_CHANNELS:
+        from e2fgvi_tpu.ops.convs import conv2d
+        k = jnp.asarray(_onehot_kernel(kh, kw, c))
+        out = conv2d(x, k, None, stride=(sh, sw), padding=(ph, pw))
+        return out.reshape(n, lh, lw, kh, kw, c)
+
+    return unfold_slices(x, kernel, stride, padding)
+
+
 def fold(patches: jnp.ndarray, output_size, kernel, stride=1,
          padding=0) -> jnp.ndarray:
     """Overlap-add patches back to an image (torch Fold semantics: sum).
@@ -73,7 +116,11 @@ def fold(patches: jnp.ndarray, output_size, kernel, stride=1,
     """
     h, w = output_size
     n, lh, lw, kh, kw, c = patches.shape
-    f = partial(unfold, kernel=kernel, stride=stride, padding=padding)
+    # NOTE: deliberately the transpose of the SLICE path (pad+add ops).
+    # Transposing the one-hot-conv formulation miscompiles on the XLA CPU
+    # backend for large shapes (observed: fold(60x108,k7,s3) wrong beyond
+    # column 17 while 12x12 is exact) — see tests/test_ops_patches.py.
+    f = partial(unfold_slices, kernel=kernel, stride=stride, padding=padding)
     example = jax.ShapeDtypeStruct((n, h, w, c), patches.dtype)
     (out,) = jax.linear_transpose(f, example)(patches)
     return out

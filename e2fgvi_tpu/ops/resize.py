@@ -57,9 +57,45 @@ def _interp_matrix(in_size: int, out_size: int, align_corners: bool,
     return m
 
 
+@lru_cache(maxsize=256)
+def _interp_taps(in_size: int, out_size: int, align_corners: bool):
+    """Per-output 2-tap (index0, index1, weight0) arrays, torch-exact.
+
+    Derived from the interpolation matrix so both formulations share the
+    f32 coordinate arithmetic."""
+    m = _interp_matrix(in_size, out_size, align_corners)
+    i0 = np.zeros(out_size, np.int32)
+    i1 = np.zeros(out_size, np.int32)
+    w0 = np.zeros(out_size, np.float32)
+    for r in range(out_size):
+        nz = np.nonzero(m[r])[0]
+        if len(nz) == 1:
+            i0[r] = i1[r] = nz[0]
+            w0[r] = 1.0
+        else:
+            i0[r], i1[r] = nz[0], nz[-1]
+            w0[r] = m[r, i0[r]]
+    return i0, i1, w0
+
+
+def _resize_axis(xf, in_size, out_size, align_corners, axis):
+    i0, i1, w0 = _interp_taps(in_size, out_size, align_corners)
+    t0 = jnp.take(xf, jnp.asarray(i0), axis=axis)
+    t1 = jnp.take(xf, jnp.asarray(i1), axis=axis)
+    shape = [1] * xf.ndim
+    shape[axis] = out_size
+    w0j = jnp.asarray(w0).reshape(shape)
+    return t0 * w0j + t1 * (1.0 - w0j)
+
+
 def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int,
                     align_corners: bool) -> jnp.ndarray:
-    """Bilinearly resize channel-last images.
+    """Bilinearly resize channel-last images (torch F.interpolate semantics).
+
+    Separable 2-tap gather + lerp with static indices: O(out) work per axis
+    (pure VPU; the taps become cheap static slices after XLA constant
+    folding), instead of a dense interpolation matmul that does O(in) MACs
+    per output pixel.
 
     Args:
       x: (..., H, W, C).
@@ -72,12 +108,9 @@ def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int,
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
     if w != out_w:
-        mw = jnp.asarray(_interp_matrix(w, out_w, align_corners))
-        # (..., H, W, C) x (out_w, W) -> (..., H, out_w, C)
-        xf = jnp.einsum("...wc,vw->...vc", xf, mw)
+        xf = _resize_axis(xf, w, out_w, align_corners, xf.ndim - 2)
     if h != out_h:
-        mh = jnp.asarray(_interp_matrix(h, out_h, align_corners))
-        xf = jnp.einsum("...hwc,uh->...uwc", xf, mh)
+        xf = _resize_axis(xf, h, out_h, align_corners, xf.ndim - 3)
     return xf.astype(orig_dtype)
 
 

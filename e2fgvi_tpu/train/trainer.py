@@ -87,6 +87,15 @@ class Trainer:
         self._step = jax.jit(raw_step, donate_argnums=0)
         self._batch_sharding = meshlib.batch_sharding(self.mesh)
 
+        # TensorBoard scalars (rank 0), bucket-averaged like the reference
+        # add_summary (core/trainer.py:161-168)
+        self.writer = None
+        self._summary_acc = {}
+        if jax.process_index() == 0:
+            from e2fgvi_tpu.utils.tb import SummaryWriter
+            self.writer = SummaryWriter(
+                os.path.join(config["save_dir"], "tb"))
+
     @property
     def iteration(self):
         return int(self.state.step)
@@ -109,6 +118,14 @@ class Trainer:
                 masks = jax.device_put(masks, self._batch_sharding)
                 self.state, logs = self._step(self.state, frames, masks)
                 it = self.iteration
+                if self.writer is not None:
+                    for k, v in logs.items():
+                        self._summary_acc[k] = (
+                            self._summary_acc.get(k, 0.0) + float(v))
+                    if it % 100 == 0:
+                        for k, v in self._summary_acc.items():
+                            self.writer.add_scalar(f"loss/{k}", v / 100, it)
+                        self._summary_acc = {}
                 if it % log_every == 0:
                     vals = {k: float(v) for k, v in logs.items()}
                     rate = log_every / max(time.time() - t0, 1e-9)

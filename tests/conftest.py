@@ -6,11 +6,18 @@ live in bench.py, not the test suite.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: this box exports JAX_PLATFORMS=axon and the plugin force-prepends
+# itself, so the env var alone is NOT enough — the config update below is
+# what actually pins tests to CPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
 prev = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in prev:
     os.environ["XLA_FLAGS"] = (
         prev + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 from e2fgvi_tpu.utils import env  # noqa: E402
 
