@@ -101,17 +101,31 @@ class SlidingWindowInpainter:
         self.pad_mod = pad_mod
         self.dtype = dtype
 
-        def _windowed(params, masked_batch, n_local):
-            out = forward(params, masked_batch, n_local)
+        def _windowed(params, frames_u8, masks_u8, idx, n_local):
+            """Device-resident window forward.
+
+            frames_u8: (T_video, H, W, 3) uint8 (mirror-padded);
+            masks_u8: (T_video, H, W, 1) uint8 {0,1};
+            idx: (B, T_win) int32 window frame indices.
+            Returns (B, n_local, H, W, 3) uint8 predictions in [0, 255]
+            (the reference's (pred+1)/2*255 -> uint8 truncation,
+            test.py:168-172, computed on device).
+            """
+            fw = jnp.take(frames_u8, idx.reshape(-1), axis=0)
+            mw = jnp.take(masks_u8, idx.reshape(-1), axis=0)
+            f = fw.astype(jnp.float32) / 255.0 * 2.0 - 1.0
+            masked = f * (1.0 - mw.astype(jnp.float32))
+            b, tw = idx.shape
+            masked = masked.reshape(b, tw, *masked.shape[1:]).astype(
+                self.dtype)
+            out = forward(params, masked, n_local)
             if isinstance(out, tuple):
                 out = out[0]
-            bsz, t = masked_batch.shape[0], masked_batch.shape[1]
-            out = out.reshape(bsz, t, *out.shape[1:])
-            # only the local (neighbor) frames are composited — slice on
-            # device to keep device->host transfer minimal
-            return out[:, :n_local].astype(jnp.float32)
+            out = out.reshape(b, tw, *out.shape[1:])[:, :n_local]
+            out = (out.astype(jnp.float32) + 1.0) / 2.0 * 255.0
+            return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
 
-        self._jit = jax.jit(_windowed, static_argnums=2)
+        self._jit = jax.jit(_windowed, static_argnums=4)
 
     def __call__(self, frames: np.ndarray, masks: np.ndarray,
                  orig_frames: np.ndarray, binary_masks: np.ndarray,
@@ -130,8 +144,14 @@ class SlidingWindowInpainter:
         plans = plan_windows(video_length, self.neighbor_stride,
                              self.ref_length, self.num_ref)
 
-        masked = frames * (1.0 - masks)
-        masked, (h, w) = mirror_pad_hw(masked, *self.pad_mod)
+        # upload the whole (mirror-padded) video ONCE as uint8; windows are
+        # gathered on device — per-window traffic is just the index array up
+        # and uint8 neighbor predictions down
+        frames_u8 = np.round((frames + 1.0) / 2.0 * 255.0).astype(np.uint8)
+        frames_u8, (h, w) = mirror_pad_hw(frames_u8, *self.pad_mod)
+        masks_u8, _ = mirror_pad_hw(masks.astype(np.uint8), *self.pad_mod)
+        dev_frames = jax.device_put(frames_u8)
+        dev_masks = jax.device_put(masks_u8)
 
         # group same-geometry windows into batched forwards
         groups = {}
@@ -144,13 +164,14 @@ class SlidingWindowInpainter:
         for (t_total, n_local), wis in groups.items():
             for s in range(0, len(wis), self.max_batch):
                 chunk = wis[s: s + self.max_batch]
-                batch = np.stack([masked[plans[wi].ids] for wi in chunk], 0)
+                idx = np.stack([np.asarray(plans[wi].ids, np.int32)
+                                for wi in chunk], 0)
                 pad_to = len(chunk)
                 if len(wis) > self.max_batch and pad_to < self.max_batch:
-                    batch = np.concatenate(
-                        [batch] + [batch[-1:]] * (self.max_batch - pad_to), 0)
-                out = self._jit(self.params,
-                                jnp.asarray(batch, self.dtype), n_local)
+                    idx = np.concatenate(
+                        [idx] + [idx[-1:]] * (self.max_batch - pad_to), 0)
+                out = self._jit(self.params, dev_frames, dev_masks,
+                                jnp.asarray(idx), n_local)
                 pending.append((chunk, out))
 
         preds = {}
@@ -168,7 +189,7 @@ class SlidingWindowInpainter:
         from e2fgvi_tpu.data import native
         comp = [None] * video_length
         for wi, p in enumerate(plans):
-            pred = (preds[wi].astype(np.float32) + 1.0) / 2.0 * 255.0
+            pred = preds[wi].astype(np.float32)
             for i, idx in enumerate(p.neighbors):
                 comp[idx] = native.composite_blend(
                     pred[i], orig_frames[idx],
