@@ -104,9 +104,30 @@ def unfold(x: jnp.ndarray, kernel, stride=1, padding=0) -> jnp.ndarray:
     return unfold_slices(x, kernel, stride, padding)
 
 
+def fold_transpose(patches: jnp.ndarray, output_size, kernel, stride=1,
+                   padding=0) -> jnp.ndarray:
+    """Reference fold: exact linear adjoint of the slice-based unfold."""
+    h, w = output_size
+    n, lh, lw, kh, kw, c = patches.shape
+    f = partial(unfold_slices, kernel=kernel, stride=stride, padding=padding)
+    example = jax.ShapeDtypeStruct((n, h, w, c), patches.dtype)
+    (out,) = jax.linear_transpose(f, example)(patches)
+    return out
+
+
 def fold(patches: jnp.ndarray, output_size, kernel, stride=1,
          padding=0) -> jnp.ndarray:
     """Overlap-add patches back to an image (torch Fold semantics: sum).
+
+    Phase-grouped formulation: output pixels are partitioned by their
+    (y % sh, x % sw) phase; within a phase, each contributing kernel tap is
+    a *shifted copy* of one (Lh, Lw) patch plane. The overlap-add becomes
+    kh*kw small (Lh+J, Lw+J)-sized pad+adds plus one interleaving reshape —
+    ~ (kh/sh)*(kw/sw) times less memory traffic than padding each tap to the
+    full canvas, with no convolution or scatter (the conv-based formulations
+    miscompile on this TPU backend for large shapes; the one-hot conv
+    transpose and input-dilated conv both produce wrong values at
+    fold(60x108, k7, s3) — see tests/test_ops_patches.py).
 
     Args:
       patches: (N, Lh, Lw, kh, kw, C).
@@ -115,15 +136,52 @@ def fold(patches: jnp.ndarray, output_size, kernel, stride=1,
       (N, H, W, C).
     """
     h, w = output_size
-    n, lh, lw, kh, kw, c = patches.shape
-    # NOTE: deliberately the transpose of the SLICE path (pad+add ops).
-    # Transposing the one-hot-conv formulation miscompiles on the XLA CPU
-    # backend for large shapes (observed: fold(60x108,k7,s3) wrong beyond
-    # column 17 while 12x12 is exact) — see tests/test_ops_patches.py.
-    f = partial(unfold_slices, kernel=kernel, stride=stride, padding=padding)
-    example = jax.ShapeDtypeStruct((n, h, w, c), patches.dtype)
-    (out,) = jax.linear_transpose(f, example)(patches)
-    return out
+    kh, kw = _norm2(kernel)
+    sh, sw = _norm2(stride)
+    ph, pw = _norm2(padding)
+    n, lh, lw, _, _, c = patches.shape
+
+    jh = -(-kh // sh)                       # taps per phase (ceil)
+    jw = -(-kw // sw)
+    slot_h = lh + jh - 1                    # phase-canvas slots
+    slot_w = lw + jw - 1
+
+    # phase canvases: (N, slot_h, sh, slot_w, sw, C)
+    rows = []
+    for ry in range(sh):
+        cols = []
+        for rx in range(sw):
+            acc = None
+            for jy in range(jh):
+                ki = ry + jy * sh
+                if ki >= kh:
+                    continue
+                for jx in range(jw):
+                    kj = rx + jx * sw
+                    if kj >= kw:
+                        continue
+                    plane = patches[:, :, :, ki, kj, :]
+                    plane = jnp.pad(
+                        plane,
+                        ((0, 0), (jy, slot_h - lh - jy),
+                         (jx, slot_w - lw - jx), (0, 0)))
+                    acc = plane if acc is None else acc + plane
+            if acc is None:
+                acc = jnp.zeros((n, slot_h, slot_w, c), patches.dtype)
+            cols.append(acc)
+        rows.append(jnp.stack(cols, axis=3))      # (N, Sh, Sw, sw, C)
+    canvas = jnp.stack(rows, axis=2)              # (N, Sh, sh, Sw, sw, C)
+    canvas = canvas.reshape(n, slot_h * sh, slot_w * sw, c)
+
+    # crop the torch padding; the phase canvas may be a few rows larger or
+    # smaller than the padded torch canvas — pad defensively first
+    need_h = ph + h
+    need_w = pw + w
+    if canvas.shape[1] < need_h or canvas.shape[2] < need_w:
+        canvas = jnp.pad(canvas,
+                         ((0, 0), (0, max(0, need_h - canvas.shape[1])),
+                          (0, max(0, need_w - canvas.shape[2])), (0, 0)))
+    return canvas[:, ph: ph + h, pw: pw + w, :]
 
 
 def fold_counts(output_size, kernel, stride, padding, dtype=jnp.float32):

@@ -92,10 +92,14 @@ def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int,
                     align_corners: bool) -> jnp.ndarray:
     """Bilinearly resize channel-last images (torch F.interpolate semantics).
 
-    Separable 2-tap gather + lerp with static indices: O(out) work per axis
-    (pure VPU; the taps become cheap static slices after XLA constant
-    folding), instead of a dense interpolation matmul that does O(in) MACs
-    per output pixel.
+    Two formulations with identical math, dispatched on dtype:
+
+    - f32 (parity paths): separable 2-tap gather + lerp with static indices
+      — exact torch weights, no matmul rounding.
+    - bf16 (speed paths): dense interpolation matmuls. On TPU the per-output
+      2-tap gather lowers to a slow general gather, while an
+      (out, in) matmul rides the MXU; the matrices are tiny and the extra
+      MACs multiply zeros.
 
     Args:
       x: (..., H, W, C).
@@ -106,6 +110,19 @@ def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int,
     """
     h, w = x.shape[-3], x.shape[-2]
     orig_dtype = x.dtype
+    if orig_dtype == jnp.bfloat16:
+        xf = x
+        if w != out_w:
+            mw = jnp.asarray(_interp_matrix(w, out_w, align_corners))
+            xf = jnp.einsum("...wc,vw->...vc", xf, mw,
+                            preferred_element_type=jnp.float32
+                            ).astype(orig_dtype)
+        if h != out_h:
+            mh = jnp.asarray(_interp_matrix(h, out_h, align_corners))
+            xf = jnp.einsum("...hwc,uh->...uwc", xf, mh,
+                            preferred_element_type=jnp.float32
+                            ).astype(orig_dtype)
+        return xf
     xf = x.astype(jnp.float32)
     if w != out_w:
         xf = _resize_axis(xf, w, out_w, align_corners, xf.ndim - 2)

@@ -6,10 +6,10 @@ model/modules/flow_comp.py:345-383) for the two modes E2FGVI uses:
 - bilinear, align_corners=True, padding 'zeros'   (feature propagation)
 - bilinear, align_corners=True, padding 'border'  (SPyNet pyramid warp)
 
-Implementation: four flat gathers (`take_along_axis` over flattened spatial
-dim) + bilinear blend. Gathers on TPU lower to XLA dynamic-gather over the
-minor dimensions; the blend fuses with downstream elementwise work. A Pallas
-variant can be slotted behind the same signature if profiling demands it.
+Implementation: ONE 2x2xC block gather per output pixel (TPU gathers are
+row-bound, so fetching the four bilinear corners as a single block is 4x
+fewer gather rows than four flat gathers) + relu(1-|p-r|) corner weights,
+which reproduce both padding modes' boundary behavior with no masks.
 """
 
 import jax.numpy as jnp
@@ -27,6 +27,8 @@ def grid_sample_bilinear(x: jnp.ndarray, grid: jnp.ndarray,
     Returns:
       (N, Ho, Wo, C), align_corners=True semantics.
     """
+    from e2fgvi_tpu.ops.dcn import bilinear_block_sample
+
     n, h, w, c = x.shape
     ho, wo = grid.shape[1], grid.shape[2]
     gx = grid[..., 0].astype(jnp.float32)
@@ -37,44 +39,15 @@ def grid_sample_bilinear(x: jnp.ndarray, grid: jnp.ndarray,
     iy = (gy + 1.0) * 0.5 * (h - 1)
 
     if padding_mode == "border":
+        # clamping the coordinate makes the clamped-corner weights sum to 1
         ix = jnp.clip(ix, 0.0, float(w - 1))
         iy = jnp.clip(iy, 0.0, float(h - 1))
     elif padding_mode != "zeros":
         raise ValueError(f"unsupported padding_mode: {padding_mode}")
 
-    x0 = jnp.floor(ix)
-    y0 = jnp.floor(iy)
-    x1 = x0 + 1.0
-    y1 = y0 + 1.0
-
-    wx1 = ix - x0
-    wx0 = 1.0 - wx1
-    wy1 = iy - y0
-    wy0 = 1.0 - wy1
-
-    def tap(yc, xc):
-        if padding_mode == "zeros":
-            valid = ((xc >= 0) & (xc <= w - 1) & (yc >= 0) &
-                     (yc <= h - 1)).astype(jnp.float32)
-        else:
-            valid = None
-        xi = jnp.clip(xc, 0, w - 1).astype(jnp.int32)
-        yi = jnp.clip(yc, 0, h - 1).astype(jnp.int32)
-        flat = (yi * w + xi).reshape(n, ho * wo, 1)
-        vals = jnp.take_along_axis(
-            x.reshape(n, h * w, c), flat, axis=1).reshape(n, ho, wo, c)
-        if valid is not None:
-            vals = vals * valid[..., None]
-        return vals
-
-    v00 = tap(y0, x0)
-    v01 = tap(y0, x1)
-    v10 = tap(y1, x0)
-    v11 = tap(y1, x1)
-
-    out = (v00 * (wy0 * wx0)[..., None] + v01 * (wy0 * wx1)[..., None] +
-           v10 * (wy1 * wx0)[..., None] + v11 * (wy1 * wx1)[..., None])
-    return out.astype(x.dtype)
+    out = bilinear_block_sample(x, iy.reshape(n, ho * wo),
+                                ix.reshape(n, ho * wo))
+    return out.reshape(n, ho, wo, c).astype(x.dtype)
 
 
 def flow_warp(x: jnp.ndarray, flow: jnp.ndarray,
