@@ -13,6 +13,9 @@ Usage:
     python scripts/pack_dataset.py --root datasets/davis --split test
 """
 
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import json
 import os
