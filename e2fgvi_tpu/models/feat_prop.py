@@ -82,18 +82,21 @@ def _offsets_from_head(out, flow_1, flow_2):
     """
     n, h, w, _ = out.shape
     g = DEFORM_GROUPS
-    o1, o2, m = jnp.split(out, 3, axis=-1)          # each (..., 9*G)
-    res = MAX_RESIDUE_MAGNITUDE * jnp.tanh(
-        jnp.concatenate([o1, o2], axis=-1))
-    res1, res2 = jnp.split(res, 2, axis=-1)
-    # channel layout per mmcv: (g, k, comp) with comp=(dy, dx) minor
-    res1 = res1.reshape(n, h, w, g // 2, _K, 2)
-    res2 = res2.reshape(n, h, w, g // 2, _K, 2)
+    # channel layout per mmcv: [o1 | o2 | m], o-halves (g, k, comp) with
+    # comp=(dy, dx) minor; o1 drives groups 0..G/2 (first-order state),
+    # o2 the rest. One tanh + one reshape — no split/concat relayouts.
+    res = (MAX_RESIDUE_MAGNITUDE *
+           jnp.tanh(out[..., : 2 * _K * g].astype(jnp.float32)))
+    res = res.reshape(n, h, w, g, _K, 2)
     # flow channels are (dx, dy); DCN offsets are (dy, dx)
-    f1 = flow_1[..., ::-1][:, :, :, None, None, :]
-    f2 = flow_2[..., ::-1][:, :, :, None, None, :]
-    offsets = jnp.concatenate([res1 + f1, res2 + f2], axis=3)
-    mask = jax.nn.sigmoid(m.reshape(n, h, w, g, _K))
+    f1 = flow_1[..., ::-1].astype(jnp.float32)[:, :, :, None, None, :]
+    f2 = flow_2[..., ::-1].astype(jnp.float32)[:, :, :, None, None, :]
+    half = jnp.concatenate(
+        [jnp.zeros((g // 2,), jnp.float32), jnp.ones((g // 2,), jnp.float32)]
+    )[None, None, None, :, None, None]
+    offsets = res + f1 * (1.0 - half) + f2 * half
+    mask = jax.nn.sigmoid(out[..., 2 * _K * g:].astype(jnp.float32)
+                          ).reshape(n, h, w, g, _K)
     return offsets, mask
 
 

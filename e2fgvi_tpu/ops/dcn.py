@@ -29,7 +29,11 @@ def _block_gather(xg, sy, sx):
     """Gather 2x2xCg blocks.
 
     xg: (B, H, W, Cg); sy/sx: (B, R) int32 top-left starts (already clipped
-    to [0, size-2]). Returns (B, R, 2, 2, Cg)."""
+    to [0, size-2]). Returns (B, R, 2, 2, Cg).
+
+    Uses a vmapped (batched) gather — measured 70x faster on this TPU than
+    the equivalent single flat gather with the batch folded into the row
+    axis (the batched-gather lowering keeps the per-image table resident)."""
     starts = jnp.stack([sy, sx], axis=-1)
     dn = lax.GatherDimensionNumbers(
         offset_dims=(1, 2, 3), collapsed_slice_dims=(),
@@ -67,11 +71,15 @@ def bilinear_block_sample(xg, py, px):
     wy1 = jax.nn.relu(1.0 - jnp.abs(py - (syf + 1.0)))
     wx0 = jax.nn.relu(1.0 - jnp.abs(px - sxf))
     wx1 = jax.nn.relu(1.0 - jnp.abs(px - (sxf + 1.0)))
-    blk = blk.astype(jnp.float32)
-    out = (blk[:, :, 0, 0] * (wy0 * wx0)[..., None] +
-           blk[:, :, 0, 1] * (wy0 * wx1)[..., None] +
-           blk[:, :, 1, 0] * (wy1 * wx0)[..., None] +
-           blk[:, :, 1, 1] * (wy1 * wx1)[..., None])
+    # blend in the table dtype: upcasting the gathered blocks materializes
+    # a buffer 2x the gather output (observed OOM at window-batch 8); for
+    # f32 tables this is exact, for bf16 the products round like every
+    # other bf16 op in the fast path
+    dt = blk.dtype
+    out = (blk[:, :, 0, 0] * (wy0 * wx0)[..., None].astype(dt) +
+           blk[:, :, 0, 1] * (wy0 * wx1)[..., None].astype(dt) +
+           blk[:, :, 1, 0] * (wy1 * wx0)[..., None].astype(dt) +
+           blk[:, :, 1, 1] * (wy1 * wx1)[..., None].astype(dt))
     return out
 
 
@@ -125,7 +133,7 @@ def modulated_deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray,
     pxg = px.transpose(0, 3, 1, 2, 4).reshape(n * g, ho * wo * k)
 
     sampled = bilinear_block_sample(xg, pyg, pxg)            # (N*G, PK, Cg)
-    m = mask.astype(jnp.float32).transpose(0, 3, 1, 2, 4).reshape(
+    m = mask.astype(sampled.dtype).transpose(0, 3, 1, 2, 4).reshape(
         n * g, ho * wo * k, 1)
     sampled = sampled * m
 

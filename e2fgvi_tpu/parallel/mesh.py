@@ -23,10 +23,42 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def detect_world():
+    """(num_processes, process_id) from scheduler env vars.
+
+    Mirrors the reference's PMI / OpenMPI discovery (core/dist.py:5-26),
+    plus the explicit E2FGVI_* overrides."""
+    size = os.environ.get("E2FGVI_NUM_PROCESSES") or \
+        os.environ.get("PMI_SIZE") or \
+        os.environ.get("OMPI_COMM_WORLD_SIZE") or "1"
+    rank = os.environ.get("E2FGVI_PROCESS_ID") or \
+        os.environ.get("PMI_RANK") or \
+        os.environ.get("OMPI_COMM_WORLD_RANK") or "0"
+    return int(size), int(rank)
+
+
+def coordinator_address(default_port=23455):
+    """Coordinator host:port (reference get_master_ip, core/dist.py:41-47)."""
+    if os.environ.get("E2FGVI_COORDINATOR"):
+        return os.environ["E2FGVI_COORDINATOR"]
+    host = None
+    if os.environ.get("AZ_BATCH_MASTER_NODE"):
+        host = os.environ["AZ_BATCH_MASTER_NODE"].split(":")[0]
+    elif os.environ.get("AZ_BATCHAI_MPI_MASTER_NODE"):
+        host = os.environ["AZ_BATCHAI_MPI_MASTER_NODE"]
+    else:
+        host = "127.0.0.1"
+    return f"{host}:{default_port}"
+
+
 def initialize_distributed():
-    """Multi-host init from standard env vars; no-op on a single host."""
-    if int(os.environ.get("E2FGVI_NUM_PROCESSES", "1")) > 1:
-        jax.distributed.initialize()
+    """Multi-host init (replaces torch.distributed init_process_group +
+    NCCL rendezvous, reference train.py:29-35); no-op on a single host."""
+    size, rank = detect_world()
+    if size > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address(),
+            num_processes=size, process_id=rank)
 
 
 def make_mesh(data: int | None = None, model: int = 1, devices=None) -> Mesh:
