@@ -47,7 +47,7 @@ class TrainDataset:
         return local + refs
 
     def __getitem__(self, index, epoch: int = 0):
-        rng = random.Random((self.seed, epoch, index))
+        rng = random.Random(hash((self.seed, epoch, index)))
         name = self.video_names[index % len(self.video_names)]
         length = self.video_dict[name]
         all_masks = create_random_shape_with_random_motion(
@@ -122,7 +122,7 @@ class PrefetchLoader:
     def _order(self):
         idxs = list(range(len(self.dataset)))
         if self.shuffle:
-            random.Random((self.seed, self.epoch)).shuffle(idxs)
+            random.Random(hash((self.seed, self.epoch))).shuffle(idxs)
         # contiguous shard split (DistributedSampler equivalent)
         return idxs[self.shard_index::self.num_shards]
 

@@ -2,9 +2,12 @@
 
 Functional equivalents of reference core/lr_scheduler.py (BasicSR-style),
 stepped per iteration (the reference steps its schedulers every training
-iteration, core/trainer.py:366)."""
+iteration, core/trainer.py:366). Implemented with jnp ops so the schedule
+can run on a traced step counter inside the jitted train step.
+"""
 
-import math
+import numpy as np
+import jax.numpy as jnp
 
 
 def multistep_restart_lr(base_lr, milestones, gamma=0.1, restarts=(0,),
@@ -13,16 +16,14 @@ def multistep_restart_lr(base_lr, milestones, gamma=0.1, restarts=(0,),
     milestones = sorted(int(m) for m in milestones)
     restarts = tuple(int(r) for r in restarts)
 
-    def lr(step: int) -> float:
-        cur = base_lr
-        last_restart_w = 1.0
-        for i, r in enumerate(restarts):
-            if step >= r:
-                last_restart_w = restart_weights[i]
-        cur = base_lr * last_restart_w
+    def lr(step):
+        step = jnp.asarray(step)
+        w = jnp.asarray(1.0)
+        for r, rw in zip(restarts, restart_weights):
+            w = jnp.where(step >= r, rw, w)
+        cur = base_lr * w
         for m in milestones:
-            if step >= m:
-                cur *= gamma
+            cur = cur * jnp.where(step >= m, gamma, 1.0)
         return cur
 
     return lr
@@ -31,16 +32,22 @@ def multistep_restart_lr(base_lr, milestones, gamma=0.1, restarts=(0,),
 def cosine_annealing_restart_lr(base_lr, periods, restart_weights=(1.0,),
                                 eta_min=1e-7):
     """Matches CosineAnnealingRestartLR (lr_scheduler.py:68-112)."""
-    cumulative = [sum(periods[: i + 1]) for i in range(len(periods))]
+    cumulative = np.asarray(
+        [sum(periods[: i + 1]) for i in range(len(periods))])
+    periods_arr = jnp.asarray(np.asarray(periods, np.float32))
+    weights_arr = jnp.asarray(np.asarray(restart_weights, np.float32))
+    starts = jnp.asarray(
+        np.concatenate([[0], cumulative[:-1]]).astype(np.float32))
+    cum = jnp.asarray(cumulative.astype(np.float32))
 
-    def lr(step: int) -> float:
-        idx = next((i for i, p in enumerate(cumulative) if step <= p),
-                   len(cumulative) - 1)
-        w = restart_weights[idx]
-        nearest = 0 if idx == 0 else cumulative[idx - 1]
-        period = periods[idx]
+    def lr(step):
+        step = jnp.asarray(step, jnp.float32)
+        idx = jnp.clip(jnp.sum(step > cum), 0, len(periods) - 1)
+        w = jnp.take(weights_arr, idx)
+        nearest = jnp.take(starts, idx)
+        period = jnp.take(periods_arr, idx)
         return (eta_min + w * 0.5 * (base_lr - eta_min) *
-                (1 + math.cos(math.pi * (step - nearest) / period)))
+                (1 + jnp.cos(jnp.pi * (step - nearest) / period)))
 
     return lr
 

@@ -19,6 +19,7 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from e2fgvi_tpu.data.datasets import TrainDataset, PrefetchLoader
@@ -59,9 +60,9 @@ class Trainer:
         params_d = discriminator.init_params(kd)
         if spynet_pretrained is not None:
             params_g["spynet"] = spynet_pretrained
-            fixed = spynet_pretrained
-        else:
-            fixed = params_g["spynet"]
+        # the frozen flow-loss SPyNet starts as a copy of the trainable one
+        # (distinct buffers: the train step donates its input state)
+        fixed = jax.tree.map(jnp.array, params_g["spynet"])
 
         base_lr = float(tr["lr"])
         sched_cfg = dict(tr["scheduler"])
