@@ -78,7 +78,7 @@ def main():
             params)
     runner = SlidingWindowInpainter(
         params, e2fgvi.generator_forward,
-        max_batch=int(os.environ.get("E2FGVI_BENCH_BATCH", "8")),
+        max_batch=int(os.environ.get("E2FGVI_BENCH_BATCH", "14")),
         dtype=dtype)
 
     # warmup (compile all window geometries)
