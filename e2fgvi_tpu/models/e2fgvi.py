@@ -18,11 +18,9 @@ which soft-comp parameters exist.
 Everything is shape-static per (B, T, H, W): jit once per window bucket.
 """
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from e2fgvi_tpu.models import feat_prop, spynet, tfocal
 from e2fgvi_tpu.ops.convs import conv2d, leaky_relu

@@ -22,7 +22,6 @@ sigmoid-gated.
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from e2fgvi_tpu.ops.convs import conv2d, leaky_relu
 from e2fgvi_tpu.ops.dcn import modulated_deform_conv2d

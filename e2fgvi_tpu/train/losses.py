@@ -8,7 +8,6 @@ model/modules/flow_comp.py:11-46.
 import jax
 import jax.numpy as jnp
 
-from e2fgvi_tpu.models import spynet
 from e2fgvi_tpu.models.e2fgvi import forward_bidirect_flow
 
 

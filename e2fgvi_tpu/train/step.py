@@ -16,7 +16,7 @@ The step is pure: state in, state out — pjit-able over a ('data','model')
 mesh with batch sharded on 'data' (gradient all-reduce is XLA's psum).
 """
 
-import functools
+
 from typing import NamedTuple, Any
 
 import jax

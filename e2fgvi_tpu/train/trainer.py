@@ -20,10 +20,9 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from e2fgvi_tpu.data.datasets import TrainDataset, PrefetchLoader
-from e2fgvi_tpu.models import discriminator, e2fgvi, spynet
+from e2fgvi_tpu.models import discriminator, e2fgvi
 from e2fgvi_tpu.parallel import mesh as meshlib
 from e2fgvi_tpu.train import schedules, step as step_lib
 from e2fgvi_tpu.utils.checkpoints import TrainCheckpointer

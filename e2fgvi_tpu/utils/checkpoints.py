@@ -9,7 +9,6 @@ one directory per iteration holding {gen, dis, opt_state, meta}, plus a
 import os
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 
