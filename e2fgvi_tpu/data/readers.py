@@ -98,8 +98,20 @@ def read_masks_from_dir(path, size, dilate_iters=4):
 
 
 def load_manifest(data_root, dataset, split):
-    """{video_name: frame_count} json manifest (reference datasets/*.json)."""
-    with open(os.path.join(data_root, dataset, f"{split}.json")) as f:
+    """{video_name: frame_count} json manifest (reference datasets/*.json).
+
+    Looks in data_root first (the reference convention — the user copies
+    the manifest next to the zips), then falls back to the manifests
+    vendored in this repo's datasets/ dir so a fresh machine with only the
+    dataset zips can run the evaluate CLI.
+    """
+    path = os.path.join(data_root, dataset, f"{split}.json")
+    if not os.path.exists(path):
+        vendored = os.path.join(os.path.dirname(__file__), "..", "..",
+                                "datasets", dataset, f"{split}.json")
+        if os.path.exists(vendored):
+            path = vendored
+    with open(path) as f:
         return json.load(f)
 
 
