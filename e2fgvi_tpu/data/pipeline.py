@@ -84,15 +84,33 @@ def plan_windows(video_length: int, neighbor_stride: int = 5,
 
 
 class SlidingWindowInpainter:
-    """Batched sliding-window video inpainting around a jitted generator.
+    """Batched sliding-window video inpainting with cross-window reuse.
 
-    forward(params, masked_frames[B,T,H,W,3], num_local) -> pred[B*T,H,W,3]
+    The reference recomputes the encoder on every window's ~17 frames and
+    SPyNet flows on every window's local pairs — 3-4x redundant work, since
+    windows overlap and reference frames repeat. Here the window-independent
+    stages run ONCE per unique frame / frame pair (semantics-preserving:
+    encoder features and pair flows are pure per-frame/per-pair functions
+    of the masked video), and only the window-dependent stages (deformable
+    propagation, transformer, decode) run per window, batched over all
+    windows of the same geometry:
+
+      stage 1  encode + quarter-resize, chunked over unique frames
+      stage 2  SPyNet flows, chunked over unique adjacent pairs (both
+               directions in one batch)
+      stage 3  per-window: gather features/flows by index ->
+               feat_prop -> transformer -> decode (local frames only)
     """
 
-    def __init__(self, params, forward: Callable, neighbor_stride: int = 5,
+    _ENC_CHUNK = 35  # frames per encode jit call (70-frame video = 2 calls)
+
+    def __init__(self, params, forward: Callable = None,
+                 neighbor_stride: int = 5,
                  ref_length: int = 10, num_ref: int = -1,
                  max_batch: int = 8, pad_mod=(60, 108),
                  dtype=jnp.float32):
+        from e2fgvi_tpu.models import e2fgvi
+        from e2fgvi_tpu.ops.resize import resize_scale_quarter
         self.params = params
         self.neighbor_stride = neighbor_stride
         self.ref_length = ref_length
@@ -101,31 +119,46 @@ class SlidingWindowInpainter:
         self.pad_mod = pad_mod
         self.dtype = dtype
 
-        def _windowed(params, frames_u8, masks_u8, idx, n_local):
-            """Device-resident window forward.
+        def _encode_chunk(params, frames_u8, masks_u8, idx):
+            """idx: (CH,) frame indices -> (features, quarter-res images).
 
-            frames_u8: (T_video, H, W, 3) uint8 (mirror-padded);
-            masks_u8: (T_video, H, W, 1) uint8 {0,1};
-            idx: (B, T_win) int32 window frame indices.
-            Returns (B, n_local, H, W, 3) uint8 predictions in [0, 255]
-            (the reference's (pred+1)/2*255 -> uint8 truncation,
-            test.py:168-172, computed on device).
-            """
-            fw = jnp.take(frames_u8, idx.reshape(-1), axis=0)
-            mw = jnp.take(masks_u8, idx.reshape(-1), axis=0)
+            Normalization matches the reference inference path exactly:
+            u8/255*2-1, masked, (then cast to the compute dtype)."""
+            fw = jnp.take(frames_u8, idx, axis=0)
+            mw = jnp.take(masks_u8, idx, axis=0)
             f = fw.astype(jnp.float32) / 255.0 * 2.0 - 1.0
-            masked = f * (1.0 - mw.astype(jnp.float32))
+            masked = (f * (1.0 - mw.astype(jnp.float32))).astype(self.dtype)
+            feat = e2fgvi.encode(params["encoder"], masked)
+            small = resize_scale_quarter((masked + 1.0) / 2.0)
+            return feat, small
+
+        def _flow_chunk(params, small_all, pair_idx):
+            """pair_idx: (PCH,) indices i of adjacent pairs (i, i+1)."""
+            a = jnp.take(small_all, pair_idx, axis=0)
+            b = jnp.take(small_all, pair_idx + 1, axis=0)
+            return e2fgvi.spynet_pairs(params["spynet"], a, b)
+
+        def _window_chunk(params, feat_all, flows_f, flows_b, idx, n_local):
+            """idx: (B, T_win) window frame indices (locals first,
+            consecutive). Returns (B, n_local, H, W, 3) uint8 predictions
+            in [0, 255] (the reference's (pred+1)/2*255 -> uint8
+            truncation, test.py:168-172, computed on device)."""
             b, tw = idx.shape
-            masked = masked.reshape(b, tw, *masked.shape[1:]).astype(
-                self.dtype)
-            out = forward(params, masked, n_local)
-            if isinstance(out, tuple):
-                out = out[0]
-            out = out.reshape(b, tw, *out.shape[1:])[:, :n_local]
+            feat = jnp.take(feat_all, idx.reshape(-1), axis=0)
+            feat = feat.reshape(b, tw, *feat.shape[1:])
+            pair_idx = idx[:, : n_local - 1].reshape(-1)
+            ff = jnp.take(flows_f, pair_idx, axis=0)
+            fb = jnp.take(flows_b, pair_idx, axis=0)
+            ff = ff.reshape(b, n_local - 1, *ff.shape[1:])
+            fb = fb.reshape(b, n_local - 1, *fb.shape[1:])
+            out = e2fgvi.window_stage(params, feat, (ff, fb), n_local,
+                                      num_out=n_local)
             out = (out.astype(jnp.float32) + 1.0) / 2.0 * 255.0
             return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
 
-        self._jit = jax.jit(_windowed, static_argnums=4)
+        self._encode_jit = jax.jit(_encode_chunk)
+        self._flow_jit = jax.jit(_flow_chunk)
+        self._window_jit = jax.jit(_window_chunk, static_argnums=5)
 
     def __call__(self, frames: np.ndarray, masks: np.ndarray,
                  orig_frames: np.ndarray, binary_masks: np.ndarray,
@@ -144,22 +177,55 @@ class SlidingWindowInpainter:
         plans = plan_windows(video_length, self.neighbor_stride,
                              self.ref_length, self.num_ref)
 
-        # upload the whole (mirror-padded) video ONCE as uint8; windows are
-        # gathered on device — per-window traffic is just the index array up
-        # and uint8 neighbor predictions down
+        # upload the whole (mirror-padded) video ONCE as uint8, padded in T
+        # to a bucket length (multiple of the encode chunk) so per-video
+        # lengths within a bucket share every compiled program
         frames_u8 = np.round((frames + 1.0) / 2.0 * 255.0).astype(np.uint8)
         frames_u8, (h, w) = mirror_pad_hw(frames_u8, *self.pad_mod)
         masks_u8, _ = mirror_pad_hw(masks.astype(np.uint8), *self.pad_mod)
+        ch = min(self._ENC_CHUNK, video_length)
+        t_bucket = -(-video_length // ch) * ch
+        if t_bucket > video_length:
+            reps = [frames_u8[-1:]] * (t_bucket - video_length)
+            frames_u8 = np.concatenate([frames_u8] + reps, 0)
+            masks_u8 = np.concatenate(
+                [masks_u8] + [masks_u8[-1:]] * (t_bucket - video_length), 0)
         dev_frames = jax.device_put(frames_u8)
         dev_masks = jax.device_put(masks_u8)
 
-        # group same-geometry windows into batched forwards
+        # stage 1: encoder features + quarter images, once per unique frame
+        feats, smalls = [], []
+        for s in range(0, t_bucket, ch):
+            idx = np.arange(s, s + ch)
+            f, sm = self._encode_jit(self.params, dev_frames, dev_masks,
+                                     jnp.asarray(idx, jnp.int32))
+            feats.append(f)
+            smalls.append(sm)
+        feat_all = jnp.concatenate(feats, axis=0)
+        small_all = jnp.concatenate(smalls, axis=0)
+
+        # stage 2: SPyNet flows, once per unique adjacent pair
+        n_pairs = t_bucket - 1
+        if n_pairs == 0:  # single-frame video: no pairs, no propagation
+            flows_f = flows_b = jnp.zeros_like(small_all[..., :2])
+        else:
+            ffs, fbs = [], []
+            for s in range(0, n_pairs, ch):
+                pidx = np.minimum(np.arange(s, s + ch), n_pairs - 1)
+                ff, fb = self._flow_jit(self.params, small_all,
+                                        jnp.asarray(pidx, jnp.int32))
+                ffs.append(ff)
+                fbs.append(fb)
+            flows_f = jnp.concatenate(ffs, axis=0)[:n_pairs]
+            flows_b = jnp.concatenate(fbs, axis=0)[:n_pairs]
+
+        # stage 3: group same-geometry windows into batched forwards;
+        # dispatch all (async), then pull — device compute overlaps the
+        # host-side transfers
         groups = {}
         for wi, p in enumerate(plans):
             groups.setdefault(p.geometry, []).append(wi)
 
-        # dispatch all forwards first (jax dispatch is async), then pull —
-        # device compute overlaps the host-side transfers/compositing
         pending = []
         for (t_total, n_local), wis in groups.items():
             for s in range(0, len(wis), self.max_batch):
@@ -170,8 +236,8 @@ class SlidingWindowInpainter:
                 if len(wis) > self.max_batch and pad_to < self.max_batch:
                     idx = np.concatenate(
                         [idx] + [idx[-1:]] * (self.max_batch - pad_to), 0)
-                out = self._jit(self.params, dev_frames, dev_masks,
-                                jnp.asarray(idx), n_local)
+                out = self._window_jit(self.params, feat_all, flows_f,
+                                       flows_b, jnp.asarray(idx), n_local)
                 pending.append((chunk, out))
 
         preds = {}

@@ -139,6 +139,23 @@ def decode(dec_params, x):
     return x
 
 
+def spynet_pairs(spynet_params, small_pairs_a, small_pairs_b):
+    """Bidirectional SPyNet flows on explicit quarter-res frame pairs.
+
+    small_pairs_a/b: (N, hs, ws, 3) in [0, 1]. Returns
+    (flows_forward, flows_backward), each (N, hs, ws, 2):
+    forward = flow(a -> b), backward = flow(b -> a) — matching the reference
+    call SPyNet(lf[:-1], lf[1:]) / SPyNet(lf[1:], lf[:-1])
+    (model/e2fgvi.py:221-228). Both directions run as ONE batched SPyNet
+    call (batch entries are independent)."""
+    n = small_pairs_a.shape[0]
+    both = spynet.spynet_flow(
+        spynet_params,
+        jnp.concatenate([small_pairs_a, small_pairs_b], axis=0),
+        jnp.concatenate([small_pairs_b, small_pairs_a], axis=0))
+    return both[:n], both[n:]
+
+
 def forward_bidirect_flow(spynet_params, masked_local_frames):
     """masked_local_frames: (B, L, H, W, 3) in [0, 1].
 
@@ -151,11 +168,52 @@ def forward_bidirect_flow(spynet_params, masked_local_frames):
     small = small.reshape(b, lt, hs, ws, 3)
     f1 = small[:, :-1].reshape(-1, hs, ws, 3)
     f2 = small[:, 1:].reshape(-1, hs, ws, 3)
-    flows_forward = spynet.spynet_flow(spynet_params, f1, f2)
-    flows_backward = spynet.spynet_flow(spynet_params, f2, f1)
+    flows_forward, flows_backward = spynet_pairs(spynet_params, f1, f2)
     flows_forward = flows_forward.reshape(b, lt - 1, hs, ws, 2)
     flows_backward = flows_backward.reshape(b, lt - 1, hs, ws, 2)
     return flows_forward, flows_backward
+
+
+def window_stage(params, feat, pred_flows, num_local_frames, num_out=None):
+    """Per-window compute on precomputed encoder features.
+
+    This is everything downstream of the (window-independent) encoder and
+    SPyNet stages: deformable propagation on the local features, soft
+    split, the transformer stack, soft composition, residual add, decode.
+
+    Args:
+      feat: (B, T, H/4, W/4, C) encoder features, locals first.
+      pred_flows: (flows_forward, flows_backward), each
+        (B, L-1, H/4, W/4, 2), as returned by forward_bidirect_flow /
+        spynet_pairs on the local frames.
+      num_local_frames: static int L.
+      num_out: static int — decode only the first num_out frames (the
+        sliding-window protocol consumes only the local frames; tokens of
+        reference frames still feed every attention block, but fold +
+        decode of their frames is skipped). None = all T frames.
+    Returns:
+      (B, num_out, H, W, 3) tanh output in [-1, 1].
+    """
+    lt = num_local_frames
+    b, t, hq, wq, c = feat.shape
+    n_out = t if num_out is None else num_out
+
+    local_feat = feat_prop.bidirectional_propagation(
+        params["feat_prop"], feat[:, :lt], pred_flows[0], pred_flows[1])
+    enc_feat = jnp.concatenate([local_feat, feat[:, lt:]], axis=1)
+
+    output_size = (hq, wq)
+    tokens = tfocal.soft_split(params["ss"],
+                               enc_feat.reshape(b * t, hq, wq, c), b)
+    tokens = tfocal.transformer_stack(params["transformer"], tokens,
+                                      output_size, NUM_HEADS, WINDOW_SIZE,
+                                      FOCAL_LEVEL)
+    trans_feat = tfocal.soft_comp(params["sc"], tokens[:, :n_out], n_out,
+                                  output_size)
+    out_feat = enc_feat[:, :n_out] + trans_feat.reshape(b, n_out, hq, wq, c)
+
+    out = decode(params["decoder"], out_feat.reshape(b * n_out, hq, wq, c))
+    return jnp.tanh(out).reshape(b, n_out, *out.shape[1:])
 
 
 def generator_forward(params, masked_frames, num_local_frames):
@@ -181,18 +239,5 @@ def generator_forward(params, masked_frames, num_local_frames):
     hq, wq = enc_feat.shape[1], enc_feat.shape[2]
     c = enc_feat.shape[-1]
     enc_feat = enc_feat.reshape(b, t, hq, wq, c)
-    local_feat = feat_prop.bidirectional_propagation(
-        params["feat_prop"], enc_feat[:, :lt], pred_flows[0], pred_flows[1])
-    enc_feat = jnp.concatenate([local_feat, enc_feat[:, lt:]], axis=1)
-
-    output_size = (hq, wq)
-    tokens = tfocal.soft_split(params["ss"],
-                               enc_feat.reshape(b * t, hq, wq, c), b)
-    tokens = tfocal.transformer_stack(params["transformer"], tokens,
-                                      output_size, NUM_HEADS, WINDOW_SIZE,
-                                      FOCAL_LEVEL)
-    trans_feat = tfocal.soft_comp(params["sc"], tokens, t, output_size)
-    enc_feat = enc_feat + trans_feat.reshape(b, t, hq, wq, c)
-
-    out = decode(params["decoder"], enc_feat.reshape(b * t, hq, wq, c))
-    return jnp.tanh(out), pred_flows
+    out = window_stage(params, enc_feat, pred_flows, lt)
+    return out.reshape(b * t, h, w, 3), pred_flows
