@@ -112,48 +112,69 @@ def v1():
     report("v1_xla_tala ", run, tab, idx, rows_per_call=N)
 
 
-# -------------------------------------------- v2: Pallas take_along_axis
-def v2(tile=2160, dtype=jnp.float32, tag="v2_pallas_tala"):
+# -------------------------------------------- v2: Pallas dynamic_gather
+# Mosaic's gather lowering (tpu.dynamic_gather) requires
+# indices.shape == table.shape: out[i, j] = tab[idx[i, j], j]. One call
+# gathers exactly P rows, so the 9 taps run as a grid dimension.
+def v2(dtype=jnp.float32, tag="v2_pallas_tala"):
     tab = jnp.asarray(tab_np, dtype)
-    idx = jnp.asarray(idx_np)
+    idx = jnp.asarray(idx_np).reshape(KTAPS, P, C)
 
     def kernel(tab_ref, idx_ref, out_ref):
-        out_ref[:] = jnp.take_along_axis(tab_ref[:], idx_ref[:], axis=0)
+        out_ref[0] = jnp.take_along_axis(
+            tab_ref[:], idx_ref[0], axis=0, mode="promise_in_bounds")
 
     gather = pl.pallas_call(
         kernel,
-        grid=(N // tile,),
+        grid=(KTAPS,),
         in_specs=[
             pl.BlockSpec((P, C), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, C), lambda i: (i, 0),
+            pl.BlockSpec((1, P, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile, C), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, P, C), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, C), dtype),
+        out_shape=jax.ShapeDtypeStruct((KTAPS, P, C), dtype),
     )
 
     @jax.jit
     def run(tab, idx):
-        return chained_idx(lambda t, i: gather(t, i).astype(jnp.float32),
-                           tab, idx)
+        def body(i, carry):
+            out = gather(tab, carry)
+            bump = (out[:1, :1, :1] > 0).astype(jnp.int32)
+            return (carry + bump + 1) % P
+        final = lax.fori_loop(0, ITERS, body, idx)
+        return jnp.sum(final[0, 0])
+
+    # correctness: one call vs numpy
+    try:
+        got = np.asarray(jax.jit(gather)(tab, idx)).reshape(N, C)
+        lanes = np.arange(C)[None, :]
+        want = tab_np[idx_np, lanes]
+        err = np.abs(got - want).max()
+        print(f"{tag} correctness: max_err={err:.2e}", flush=True)
+    except Exception as e:  # noqa: BLE001
+        lines = str(e).splitlines() or [repr(e)]
+        print(f"{tag} correctness FAILED: {type(e).__name__}: "
+              f"{lines[0][:300]}", flush=True)
+        return
     report(f"{tag}", run, tab, idx, rows_per_call=N)
 
 
 # --------------------------------------- v3: fused Pallas bilinear sampler
-def v3(tile=2160):
+def v3():
     tab = jnp.asarray(tab_np)
-    py = jnp.asarray(py_np)
-    px = jnp.asarray(px_np)
+    py = jnp.asarray(py_np).reshape(KTAPS, P, 16)
+    px = jnp.asarray(px_np).reshape(KTAPS, P, 16)
 
     def kernel(tab_ref, py_ref, px_ref, out_ref):
         # NOTE pltpu.repeat TILES (concatenates copies): lane j of the
         # repeated position arrays is group j % 16 — the table must use the
         # matching lane layout (lane = ch*16 + group); here the table is
         # random so only the oracle needs to agree.
-        pyl = pltpu.repeat(py_ref[:], 8, axis=1)       # (tile,128)
-        pxl = pltpu.repeat(px_ref[:], 8, axis=1)
+        pyl = pltpu.repeat(py_ref[0], 8, axis=1)       # (P,128)
+        pxl = pltpu.repeat(px_ref[0], 8, axis=1)
         y0 = jnp.clip(jnp.floor(pyl), 0, H - 2).astype(jnp.int32)
         x0 = jnp.clip(jnp.floor(pxl), 0, W - 2).astype(jnp.int32)
         wy0 = jax.nn.relu(1.0 - jnp.abs(pyl - y0.astype(jnp.float32)))
@@ -162,26 +183,27 @@ def v3(tile=2160):
         wx1 = jax.nn.relu(1.0 - jnp.abs(pxl - (x0 + 1).astype(jnp.float32)))
         base = y0 * W + x0
         t = tab_ref[:]
-        g00 = jnp.take_along_axis(t, base, axis=0)
-        g01 = jnp.take_along_axis(t, base + 1, axis=0)
-        g10 = jnp.take_along_axis(t, base + W, axis=0)
-        g11 = jnp.take_along_axis(t, base + W + 1, axis=0)
-        out_ref[:] = (g00 * (wy0 * wx0) + g01 * (wy0 * wx1)
-                      + g10 * (wy1 * wx0) + g11 * (wy1 * wx1))
+
+        def g(i):
+            return jnp.take_along_axis(t, i, axis=0,
+                                       mode="promise_in_bounds")
+        out_ref[0] = (g(base) * (wy0 * wx0) + g(base + 1) * (wy0 * wx1)
+                      + g(base + W) * (wy1 * wx0)
+                      + g(base + W + 1) * (wy1 * wx1))
 
     sample = pl.pallas_call(
         kernel,
-        grid=(N // tile,),
+        grid=(KTAPS,),
         in_specs=[
             pl.BlockSpec((P, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 16), lambda i: (i, 0),
+            pl.BlockSpec((1, P, 16), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 16), lambda i: (i, 0),
+            pl.BlockSpec((1, P, 16), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile, C), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, P, C), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((KTAPS, P, C), jnp.float32),
     )
 
     @jax.jit
@@ -189,9 +211,9 @@ def v3(tile=2160):
         def body(i, carry):
             py2, acc = carry
             out = sample(tab, py2, px)
-            bump = (out[:1, :1] > 0).astype(jnp.float32)
-            return (jnp.minimum(py2 + bump[0] * 1e-3, H - 1.0),
-                    acc + out[0, 0])
+            bump = (out[:1, :1, :1] > 0).astype(jnp.float32)
+            return (jnp.minimum(py2 + bump * 1e-3, H - 1.0),
+                    acc + out[0, 0, 0])
         _, acc = lax.fori_loop(0, ITERS, body, (py, 0.0))
         return acc
 
@@ -213,13 +235,14 @@ def v3(tile=2160):
                 + t[((y0 + 1) * W + x0 + 1), lanes] * wy1 * wx1)
 
     try:
-        got = np.asarray(jax.jit(sample)(tab, py, px)[::997])
+        got = np.asarray(jax.jit(sample)(tab, py, px)).reshape(N, C)[::997]
         want = np_sample()[::997]
         err = np.abs(got - want).max()
         print(f"v3 correctness: max_err={err:.2e}", flush=True)
     except Exception as e:  # noqa: BLE001
+        lines = str(e).splitlines() or [repr(e)]
         print(f"v3 correctness: FAILED {type(e).__name__}: "
-              f"{str(e).splitlines()[0][:300]}", flush=True)
+              f"{lines[0][:300]}", flush=True)
         return
     report("v3_pallas_dcn", run, tab, py, px, rows_per_call=N)
 
