@@ -68,7 +68,14 @@ def main(argv=None):
     use_vfid = os.path.isfile(args.i3d_ckpt)
     if use_vfid:
         i3d_params = i3d.load_i3d(args.i3d_ckpt)
-        i3d_fn = jax.jit(i3d.i3d_features)
+
+        @jax.jit
+        def i3d_fn(p, video_u8):
+            # uint8 on the wire (4x less host->device traffic); the uint8
+            # truncation itself is reference semantics (evaluate.py:122-123
+            # builds PIL images from comp.astype(np.uint8) before I3D)
+            return i3d.i3d_features(
+                p, video_u8.astype(jnp.float32) / 255.0)
     else:
         print(f"[warn] I3D checkpoint not found at {args.i3d_ckpt}; "
               "VFID will be skipped.")
@@ -83,35 +90,54 @@ def main(argv=None):
     t_start = time.time()
     total_frames = 0
 
-    for vi in range(len(dataset)):
-        frames, masks, name, orig = dataset[vi]
+    # Host-side work (zip decode, PSNR/SSIM, PNG dumps) runs on a worker
+    # pool so it overlaps the device forwards: the next video decodes while
+    # this one runs on the TPU, and metrics of finished videos trail behind.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def video_metrics(orig, comp):
+        vals = [metrics.calc_psnr_and_ssim(gt.astype(np.float64),
+                                           pred.astype(np.float64))
+                for gt, pred in zip(orig, comp)]
+        return [v[0] for v in vals], [v[1] for v in vals]
+
+    n_videos = len(dataset)
+    prefetch = 2
+    pool = ThreadPoolExecutor(max_workers=max(1, args.num_workers))
+    decode_futs = {vi: pool.submit(dataset.__getitem__, vi)
+                   for vi in range(min(prefetch, n_videos))}
+    metric_futs = []
+    for vi in range(n_videos):
+        frames, masks, name, orig = decode_futs.pop(vi).result()
+        nxt = vi + prefetch
+        if nxt < n_videos:
+            decode_futs[nxt] = pool.submit(dataset.__getitem__, nxt)
         binary = masks.astype(np.uint8)
         comp = runner(frames, masks, orig, binary)
         total_frames += len(comp)
 
-        v_psnr, v_ssim = [], []
-        for gt, pred in zip(orig, comp):
-            psnr, ssim = metrics.calc_psnr_and_ssim(
-                gt.astype(np.float64), pred.astype(np.float64))
-            v_psnr.append(psnr)
-            v_ssim.append(ssim)
+        if use_vfid:
+            comp_u8 = np.stack(comp).astype(np.uint8)
+            real_acts.append(np.asarray(
+                i3d_fn(i3d_params, orig[None])).ravel())
+            fake_acts.append(np.asarray(
+                i3d_fn(i3d_params, comp_u8[None])).ravel())
+
+        metric_futs.append((vi, name, pool.submit(video_metrics, orig,
+                                                  comp)))
+        if args.save_results:
+            pool.submit(write_frames, os.path.join(result_path, name),
+                        [c.astype(np.uint8) for c in comp])
+
+    for vi, name, fut in metric_futs:
+        v_psnr, v_ssim = fut.result()
         all_psnr.extend(v_psnr)
         all_ssim.extend(v_ssim)
-
-        if use_vfid:
-            gt01 = orig.astype(np.float32)[None] / 255.0
-            pd01 = np.stack(comp).astype(np.float32)[None] / 255.0
-            real_acts.append(np.asarray(i3d_fn(i3d_params, gt01)).ravel())
-            fake_acts.append(np.asarray(i3d_fn(i3d_params, pd01)).ravel())
-
-        line = (f"[{vi + 1:3}/{len(dataset)}] Name: {str([name]):25} | "
+        line = (f"[{vi + 1:3}/{n_videos}] Name: {str([name]):25} | "
                 f"PSNR/SSIM: {np.mean(v_psnr):.4f}/{np.mean(v_ssim):.4f}")
         print(line)
         summary.write(line + "\n")
-
-        if args.save_results:
-            write_frames(os.path.join(result_path, name),
-                         [c.astype(np.uint8) for c in comp])
+    pool.shutdown(wait=True)
 
     avg_psnr = float(np.mean(all_psnr))
     avg_ssim = float(np.mean(all_ssim))

@@ -138,7 +138,8 @@ class SlidingWindowInpainter:
             b = jnp.take(small_all, pair_idx + 1, axis=0)
             return e2fgvi.spynet_pairs(params["spynet"], a, b)
 
-        def _window_chunk(params, feat_all, flows_f, flows_b, idx, n_local):
+        def _window_chunk(params, feat_all, flows_f, flows_b, idx, n_local,
+                          dcn_band):
             """idx: (B, T_win) window frame indices (locals first,
             consecutive). Returns (B, n_local, H, W, 3) uint8 predictions
             in [0, 255] (the reference's (pred+1)/2*255 -> uint8
@@ -152,13 +153,36 @@ class SlidingWindowInpainter:
             ff = ff.reshape(b, n_local - 1, *ff.shape[1:])
             fb = fb.reshape(b, n_local - 1, *fb.shape[1:])
             out = e2fgvi.window_stage(params, feat, (ff, fb), n_local,
-                                      num_out=n_local)
+                                      num_out=n_local, dcn_band=dcn_band)
             out = (out.astype(jnp.float32) + 1.0) / 2.0 * 255.0
             return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
 
+        def _flow_y_bound(flows_f, flows_b):
+            """Max |flow_y| over both branches INCLUDING the second-order
+            composition feat_prop applies (flow_n1 + warp(flow_n2, flow_n1),
+            models/feat_prop.py:164-168; window-local pairs are consecutive
+            global pairs, so global adjacency covers every window)."""
+            from e2fgvi_tpu.ops.warp import flow_warp
+            m = jnp.float32(0)
+            for f in (flows_f, flows_b):
+                m = jnp.maximum(m, jnp.abs(f[..., 1]).max().astype(
+                    jnp.float32))
+                if f.shape[0] > 1:
+                    comp = f[1:] + flow_warp(f[:-1], f[1:])
+                    m = jnp.maximum(m, jnp.abs(comp[..., 1]).max().astype(
+                        jnp.float32))
+            return m
+
         self._encode_jit = jax.jit(_encode_chunk)
         self._flow_jit = jax.jit(_flow_chunk)
-        self._window_jit = jax.jit(_window_chunk, static_argnums=5)
+        self._window_jit = jax.jit(_window_chunk, static_argnums=(5, 6))
+        self._flow_bound_jit = jax.jit(_flow_y_bound)
+        # the banded Pallas DCN sampler needs a Mosaic backend and a
+        # quarter-res width that fits the 128-lane vreg
+        import os as _os
+        self._banded_dcn = (
+            _os.environ.get("E2FGVI_DCN", "banded") == "banded"
+            and jax.default_backend() == "tpu")
 
     def __call__(self, frames: np.ndarray, masks: np.ndarray,
                  orig_frames: np.ndarray, binary_masks: np.ndarray,
@@ -219,6 +243,16 @@ class SlidingWindowInpainter:
             flows_f = jnp.concatenate(ffs, axis=0)[:n_pairs]
             flows_b = jnp.concatenate(fbs, axis=0)[:n_pairs]
 
+        # stage 2.5: pick the deformable-sampler band from the measured
+        # per-video flow bound (ONE scalar readback; the banded kernel is
+        # exact within the band — kernels/dcn_band.py; None -> XLA gather)
+        dcn_band = None
+        quarter_w = frames_u8.shape[2] // 4
+        if self._banded_dcn and n_pairs > 0 and quarter_w <= 127:
+            from e2fgvi_tpu.kernels.dcn_band import band_for_flow_bound
+            fy = float(np.asarray(self._flow_bound_jit(flows_f, flows_b)))
+            dcn_band = band_for_flow_bound(fy)
+
         # stage 3: group same-geometry windows into batched forwards;
         # dispatch all (async), then pull — device compute overlaps the
         # host-side transfers
@@ -237,7 +271,8 @@ class SlidingWindowInpainter:
                     idx = np.concatenate(
                         [idx] + [idx[-1:]] * (self.max_batch - pad_to), 0)
                 out = self._window_jit(self.params, feat_all, flows_f,
-                                       flows_b, jnp.asarray(idx), n_local)
+                                       flows_b, jnp.asarray(idx), n_local,
+                                       dcn_band)
                 pending.append((chunk, out))
 
         preds = {}

@@ -174,7 +174,8 @@ def forward_bidirect_flow(spynet_params, masked_local_frames):
     return flows_forward, flows_backward
 
 
-def window_stage(params, feat, pred_flows, num_local_frames, num_out=None):
+def window_stage(params, feat, pred_flows, num_local_frames, num_out=None,
+                 dcn_band=None):
     """Per-window compute on precomputed encoder features.
 
     This is everything downstream of the (window-independent) encoder and
@@ -191,6 +192,8 @@ def window_stage(params, feat, pred_flows, num_local_frames, num_out=None):
         sliding-window protocol consumes only the local frames; tokens of
         reference frames still feed every attention block, but fold +
         decode of their frames is skipped). None = all T frames.
+      dcn_band: static int or None — band for the Pallas deformable-
+        alignment sampler (see kernels/dcn_band.py); None = XLA gather.
     Returns:
       (B, num_out, H, W, 3) tanh output in [-1, 1].
     """
@@ -199,7 +202,8 @@ def window_stage(params, feat, pred_flows, num_local_frames, num_out=None):
     n_out = t if num_out is None else num_out
 
     local_feat = feat_prop.bidirectional_propagation(
-        params["feat_prop"], feat[:, :lt], pred_flows[0], pred_flows[1])
+        params["feat_prop"], feat[:, :lt], pred_flows[0], pred_flows[1],
+        dcn_band=dcn_band)
     enc_feat = jnp.concatenate([local_feat, feat[:, lt:]], axis=1)
 
     output_size = (hq, wq)

@@ -99,11 +99,14 @@ def _offsets_from_head(out, flow_1, flow_2):
     return offsets, mask
 
 
-def _deform_align(p, x, cond, flow_1, flow_2):
+def _deform_align(p, x, cond, flow_1, flow_2, dcn_band=None):
     """SecondOrderDeformableAlignment (feat_prop.py:13-58).
 
     x: (N, H, W, 2*C) = [first-order state, second-order state].
     cond: (N, H, W, 3*C) = [warped n1, current, warped n2].
+    dcn_band: static int -> use the banded Pallas sampler (exact while
+      |flow_y| stays within the band contract, kernels/dcn_band.py);
+      None -> the XLA block-gather path.
     """
     feat = jnp.concatenate([cond, flow_1, flow_2], axis=-1)
     for i, cp in enumerate(p["conv_offset"]):
@@ -111,11 +114,15 @@ def _deform_align(p, x, cond, flow_1, flow_2):
         if i < len(p["conv_offset"]) - 1:
             feat = leaky_relu(feat, 0.1)
     offsets, mask = _offsets_from_head(feat, flow_1, flow_2)
+    if dcn_band is not None:
+        from e2fgvi_tpu.kernels.dcn_band import modulated_deform_conv2d_banded
+        return modulated_deform_conv2d_banded(x, offsets, mask, p["w"],
+                                              p["b"], band=dcn_band)
     return modulated_deform_conv2d(x, offsets, mask, p["w"], p["b"])
 
 
 def bidirectional_propagation(params, x, flows_backward_branch,
-                              flows_forward_branch):
+                              flows_forward_branch, dcn_band=None):
     """Propagate features both ways and fuse.
 
     Argument order follows the reference *call site* exactly
@@ -171,7 +178,8 @@ def bidirectional_propagation(params, x, flows_backward_branch,
                                        axis=-1)
                 stacked = jnp.concatenate([feat_prop, feat_n2], axis=-1)
                 feat_prop = _deform_align(p["deform"], stacked, cond,
-                                          flow_n1, flow_n2)
+                                          flow_n1, flow_n2,
+                                          dcn_band=dcn_band)
 
             if direction == "backward":
                 feat = jnp.concatenate([feat_current, feat_prop], axis=-1)

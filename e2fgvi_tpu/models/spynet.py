@@ -59,8 +59,12 @@ def _basic_module(mod, x):
 def _compute_flow(params, ref, supp):
     """ref/supp (N, H, W, 3) with H, W multiples of 32, values [0, 1]."""
     n, h, w, _ = ref.shape
-    mean = jnp.asarray(_MEAN)
-    std = jnp.asarray(_STD)
+    # normalization constants in the COMPUTE dtype: an f32 constant here
+    # silently promotes the whole pyramid (and every 7x7 conv) to f32 —
+    # measured 445 ms vs 30 ms per 70-pair chunk on v5e (scripts/
+    # exp_spynet3.py). f32 runs are unaffected (constants stay f32).
+    mean = jnp.asarray(_MEAN, ref.dtype)
+    std = jnp.asarray(_STD, ref.dtype)
     refs = [(ref - mean) / std]
     supps = [(supp - mean) / std]
     for _ in range(5):

@@ -116,3 +116,16 @@ def shard_params(mesh: Mesh, params, sharding_tree=None):
     if sharding_tree is None:
         sharding_tree = generator_param_sharding(mesh, params)
     return jax.tree.map(jax.device_put, params, sharding_tree)
+
+
+def global_batch_array(sharding: NamedSharding, local_batch):
+    """Assemble a global, 'data'-sharded array from per-process host shards.
+
+    Reference semantics: DistributedSampler hands each rank
+    batch/world_size items and DDP all-reduces grads
+    (core/trainer.py:35-45); here each process contributes the shard its
+    loader decoded and XLA sees ONE global array. Single-process (incl. the
+    virtual CPU mesh) degenerates to a plain sharded device_put."""
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x),
+        local_batch)

@@ -42,11 +42,18 @@ class Trainer:
         self.gan_type = config["losses"].get("GAN_LOSS", "hinge")
         seed = int(config.get("seed", 2021))
 
-        self.mesh = mesh if mesh is not None else meshlib.make_mesh()
+        mp = int(tr.get("model_parallel", 1))
+        self.mesh = mesh if mesh is not None else meshlib.make_mesh(model=mp)
         n_data = self.mesh.shape["data"]
         global_batch = int(tr["batch_size"])
         assert global_batch % n_data == 0, (global_batch, n_data)
         self.global_batch = global_batch
+        # per-process share of the global batch (the reference's
+        # DistributedSampler split, core/trainer.py:35-45)
+        self.n_proc = jax.process_count()
+        self.proc_idx = jax.process_index()
+        assert global_batch % self.n_proc == 0, (global_batch, self.n_proc)
+        self.local_batch = global_batch // self.n_proc
 
         self.dataset = TrainDataset(config["train_data_loader"], seed=seed)
         self.num_workers = int(tr.get("num_workers", 2))
@@ -72,6 +79,16 @@ class Trainer:
             beta2=float(tr.get("beta2", 0.99)))
         self.lr_fn = lr_fn
 
+        # Place parameters on the mesh BEFORE optimizer init: transformer
+        # GEMMs sharded on 'model' (tensor parallelism; replication when
+        # model_parallel == 1), everything else replicated. optax zeros_like
+        # then inherits the shardings, so optimizer moments are born with
+        # the same layout and the jitted step never reshards.
+        with self.mesh:
+            params_g = meshlib.shard_params(self.mesh, params_g)
+            repl = meshlib.replicated(self.mesh)
+            params_d = jax.device_put(params_d, repl)
+            fixed = jax.device_put(fixed, repl)
         self.state = step_lib.init_train_state(params_g, params_d, fixed,
                                                self.tx_g, self.tx_d)
 
@@ -110,12 +127,13 @@ class Trainer:
         while self.iteration < target:
             epoch += 1
             loader = PrefetchLoader(
-                self.dataset, batch_size=self.global_batch,
+                self.dataset, batch_size=self.local_batch,
                 num_workers=self.num_workers, shuffle=True,
-                seed=int(self.config.get("seed", 2021)), epoch=epoch)
+                seed=int(self.config.get("seed", 2021)), epoch=epoch,
+                shard_index=self.proc_idx, num_shards=self.n_proc)
             for frames, masks, _ in loader:
-                frames = jax.device_put(frames, self._batch_sharding)
-                masks = jax.device_put(masks, self._batch_sharding)
+                frames, masks = meshlib.global_batch_array(
+                    self._batch_sharding, (frames, masks))
                 self.state, logs = self._step(self.state, frames, masks)
                 it = self.iteration
                 if self.writer is not None:

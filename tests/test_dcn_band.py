@@ -1,0 +1,84 @@
+"""Banded Pallas DCN sampler vs the XLA block-gather reference impl.
+
+The banded kernel must be bit-level-close to ops.dcn.modulated_deform_conv2d
+whenever the vertical offsets respect the band contract — including samples
+pushed outside the image (zeros semantics) and arbitrary horizontal offsets.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from e2fgvi_tpu.kernels.dcn_band import (band_for_flow_bound,
+                                         modulated_deform_conv2d_banded)
+from e2fgvi_tpu.ops.dcn import modulated_deform_conv2d
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def _inputs(rng, n=1, h=12, w=16, cin=8, g=2, cout=4, off_scale=3.0):
+    k = 9
+    x = rng.standard_normal((n, h, w, cin)).astype(np.float32)
+    offset = (rng.uniform(-1, 1, (n, h, w, g, k, 2)) * off_scale
+              ).astype(np.float32)
+    mask = rng.uniform(0, 1, (n, h, w, g, k)).astype(np.float32)
+    wgt = rng.standard_normal((3, 3, cin, cout)).astype(np.float32) * 0.2
+    b = rng.standard_normal((cout,)).astype(np.float32)
+    return x, offset, mask, wgt, b
+
+
+def test_banded_matches_xla_block_gather(rng):
+    x, offset, mask, wgt, b = _inputs(rng)
+    want = modulated_deform_conv2d(jnp.asarray(x), jnp.asarray(offset),
+                                   jnp.asarray(mask), jnp.asarray(wgt),
+                                   jnp.asarray(b))
+    got = modulated_deform_conv2d_banded(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+        jnp.asarray(wgt), jnp.asarray(b), band=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_banded_zeros_outside_image(rng):
+    # offsets large enough to push many samples outside the image but
+    # still inside the vertical band -> zeros semantics must match
+    x, offset, mask, wgt, b = _inputs(rng, h=10, w=12, off_scale=0.0)
+    offset = offset + rng.uniform(4, 9, offset.shape).astype(np.float32) * \
+        np.sign(rng.standard_normal(offset.shape)).astype(np.float32)
+    want = modulated_deform_conv2d(jnp.asarray(x), jnp.asarray(offset),
+                                   jnp.asarray(mask), jnp.asarray(wgt),
+                                   jnp.asarray(b))
+    got = modulated_deform_conv2d_banded(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+        jnp.asarray(wgt), jnp.asarray(b), band=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_feat_prop_banded_matches_default(rng):
+    """bidirectional_propagation with dcn_band == without (flows small)."""
+    from e2fgvi_tpu.models import feat_prop
+    c = 8
+    params = feat_prop.init_params(jax.random.PRNGKey(0), channel=c)
+    # zero-init offset head (reference init) -> offsets = flow only
+    x = jnp.asarray(rng.standard_normal((1, 4, 8, 16, c)), jnp.float32)
+    flows = jnp.asarray(rng.uniform(-2, 2, (1, 3, 8, 16, 2)), jnp.float32)
+    want = feat_prop.bidirectional_propagation(params, x, flows, flows)
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        got = feat_prop.bidirectional_propagation(params, x, flows, flows,
+                                                  dcn_band=32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_band_for_flow_bound():
+    assert band_for_flow_bound(0.0) == 32
+    assert band_for_flow_bound(1.4) == 32
+    assert band_for_flow_bound(5.0) == 48
+    assert band_for_flow_bound(11.0) == 64
+    assert band_for_flow_bound(60.0) is None
