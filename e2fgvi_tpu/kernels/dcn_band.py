@@ -58,24 +58,51 @@ def _sampler_kernel(src_ref, py_ref, px_ref, m_ref, out_ref, *, band, cg,
     x0f = x0.astype(jnp.float32)
     wx0 = jax.nn.relu(1.0 - jnp.abs(px - x0f))
     wx1 = jax.nn.relu(1.0 - jnp.abs(px - (x0f + 1.0)))
-    rows = jax.lax.broadcasted_iota(jnp.float32, (hp, wp), 0)
-    w_pairs = []
-    for di in range(band):
-        wy = jax.nn.relu(1.0 - jnp.abs(py - (rows + (dy_lo + di))))
-        w_pairs.append(((wy * wx0).astype(dtype), (wy * wx1).astype(dtype)))
+    # int iota + cast: Mosaic's tpu.iota only produces integer vectors
+    rows = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0).astype(
+        jnp.float32)
+    # Mosaic's dynamic_gather only lowers for 32-bit lanes: bf16 tables are
+    # gathered through an in-register f32 upcast (storage stays bf16)
+    gdt = jnp.float32 if dtype == jnp.bfloat16 else dtype
     x1 = x0 + 1
     m = m_ref[0, 0].astype(dtype)
+
+    # fori_loop (not a python loop) over the band, in aligned 8-row blocks:
+    # a fully unrolled cg*band loop makes Mosaic's kernel stack grow
+    # linearly with the unroll count and blows the 16M scoped-VMEM limit at
+    # band >= 48 (measured), while a per-row dynamic slice start can't be
+    # proven sublane-aligned — so the loop strides 8 rows (start asserted
+    # via pl.multiple_of) and the 8 sub-shifts are static value slices.
+    # Band buckets are all multiples of 8.
+    def blk_step(bi, accs):
+        dif0 = (bi * 8).astype(jnp.float32)
+        wps = []
+        for r in range(8):
+            wy = jax.nn.relu(
+                1.0 - jnp.abs(py - (rows + (dy_lo + r) + dif0)))
+            wps.append(((wy * wx0).astype(gdt), (wy * wx1).astype(gdt)))
+        new = []
+        for c in range(cg):
+            s_blk = src_ref[0, c,
+                            pl.ds(pl.multiple_of(bi * 8, 8), hp + 8),
+                            :].astype(gdt)
+            acc = accs[c]
+            for r in range(8):
+                s = s_blk[r: r + hp]
+                g0 = jnp.take_along_axis(s, x0, axis=1,
+                                         mode="promise_in_bounds")
+                g1 = jnp.take_along_axis(s, x1, axis=1,
+                                         mode="promise_in_bounds")
+                w0, w1 = wps[r]
+                acc = acc + g0 * w0 + g1 * w1
+            new.append(acc)
+        return tuple(new)
+
+    accs = jax.lax.fori_loop(
+        0, band // 8, blk_step,
+        tuple(jnp.zeros((hp, wp), gdt) for _ in range(cg)))
     for c in range(cg):
-        acc = jnp.zeros((hp, wp), dtype)
-        for di in range(band):
-            s = src_ref[0, c, di:di + hp, :]
-            g0 = jnp.take_along_axis(s, x0, axis=1,
-                                     mode="promise_in_bounds")
-            g1 = jnp.take_along_axis(s, x1, axis=1,
-                                     mode="promise_in_bounds")
-            w0, w1 = w_pairs[di]
-            acc = acc + g0 * w0 + g1 * w1
-        out_ref[0, 0, c] = acc * m
+        out_ref[0, 0, c] = accs[c].astype(dtype) * m
 
 
 @functools.lru_cache(maxsize=None)

@@ -75,10 +75,18 @@ def main():
         b = jnp.take(sm, i + 1, axis=0)
         return e2fgvi.spynet_pairs(p["spynet"], a, b)
 
+    # match the real pipeline: the banded Pallas sampler with a band
+    # representative of the tennis bench (flows ~N(0,2) -> band ~13)
+    dcn_band = None
+    if jax.default_backend() == "tpu":
+        from e2fgvi_tpu.kernels.dcn_band import band_for_flow_bound
+        dcn_band = band_for_flow_bound(float(np.abs(
+            np.asarray(flows[..., 1], np.float32)).max()))
+
     @jax.jit
     def fp_stage(p, feat, ff, fb):
         return feat_prop.bidirectional_propagation(
-            p["feat_prop"], feat[:, :N_LOCAL], ff, fb)
+            p["feat_prop"], feat[:, :N_LOCAL], ff, fb, dcn_band=dcn_band)
 
     @jax.jit
     def blocks_stage(p, tok):
@@ -102,7 +110,7 @@ def main():
     @jax.jit
     def window_stage(p, feat, ff, fb):
         return e2fgvi.window_stage(p, feat, (ff, fb), N_LOCAL,
-                                   num_out=N_LOCAL)
+                                   num_out=N_LOCAL, dcn_band=dcn_band)
 
     n_windows = -(-T_VIDEO // 5)
     stages = [
