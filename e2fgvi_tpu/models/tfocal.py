@@ -148,13 +148,20 @@ def _pooled_key_mask(nwh, nww, kh, kw, ph, pw):
 # Focal window attention
 # ---------------------------------------------------------------------------
 
-def window_attention(params, x, pooled, num_heads, window_size, expand_size):
+def window_attention(params, x, pooled, num_heads, window_size, expand_size,
+                     frame_valid=None):
     """Focal attention over temporal windows.
 
     Args:
       x: (B, T, H, W, C) normalized tokens.
       pooled: (B, nWh, nWw, T, C) pooled coarse tokens (focal level 1),
         or None when focal_level <= 1.
+      frame_valid: optional (B, T) bool — when windows of different
+        temporal length are padded to a uniform T, keys (own, rolled and
+        pooled) of padding frames are masked out so real queries attend
+        exactly as in the unpadded forward. Attention is the only
+        cross-frame op in the block, so this mask alone makes padding
+        exact; padded frames' own outputs are garbage the caller discards.
     Returns:
       (B*nWin, T*wh*ww, C) attended tokens.
     """
@@ -181,6 +188,10 @@ def window_attention(params, x, pooled, num_heads, window_size, expand_size):
     k_win = heads_of(part(k))
     v_win = heads_of(part(v))
 
+    # key-axis segments (own / rolled / pooled) are each t-major; the
+    # frame-pad mask expands per segment by its keys-per-frame count
+    seg_keys_per_frame = [wh * ww]
+
     # --- rolled (expanded) keys -------------------------------------------
     if eh > 0 or ew > 0:
         vidx = jnp.asarray(_rolled_valid_idx(wh, ww, eh, ew))
@@ -196,10 +207,9 @@ def window_attention(params, x, pooled, num_heads, window_size, expand_size):
 
         k_all = jnp.concatenate([k_win, rolled(k)], axis=2)
         v_all = jnp.concatenate([v_win, rolled(v)], axis=2)
+        seg_keys_per_frame.append(int(vidx.shape[0]))
     else:
         k_all, v_all = k_win, v_win
-
-    key_bias = [jnp.zeros((1, k_all.shape[2]), jnp.float32)]
 
     # --- pooled coarse keys (focal level 1) --------------------------------
     if pooled is not None:
@@ -222,15 +232,23 @@ def window_attention(params, x, pooled, num_heads, window_size, expand_size):
         pm = jnp.asarray(_pooled_key_mask(nwh, nww, pk[0], pk[1], *pp))
         # key ordering is (t, kk) t-major; bias is per (window, kk)
         pmt = jnp.tile(pm[:, None, :], (1, t, 1)).reshape(nwh * nww, -1)
-        key_bias.append(pmt)
+        seg_keys_per_frame.append(pk[0] * pk[1])
 
-    # assemble additive bias over the full key axis: (nWin, Nk)
-    own_len = key_bias[0].shape[1]
+    # assemble the additive bias over the full key axis, per (B*nWin, Nk):
+    # the pooled-boundary -100 (reference tfocal_transformer.py:300-316)
+    # plus a -1e9 on every key of a padding frame
+    fine_len = sum(seg_keys_per_frame[:2 if (eh or ew) else 1]) * t
+    nk = k_all.shape[2]
+    bias_win = jnp.zeros((nwin, nk), jnp.float32)
     if pooled is not None:
-        bias_full = jnp.concatenate(
-            [jnp.zeros((nwin, own_len), jnp.float32), key_bias[1]], axis=1)
-    else:
-        bias_full = jnp.zeros((nwin, own_len), jnp.float32)
+        bias_win = bias_win.at[:, fine_len:].set(pmt)
+    bias_full = jnp.tile(bias_win, (b, 1))
+    if frame_valid is not None:
+        segs = [jnp.repeat(~frame_valid, kpf, axis=1)
+                for kpf in seg_keys_per_frame]
+        key_pad = jnp.concatenate(segs, axis=1)          # (B, Nk)
+        key_pad = jnp.repeat(key_pad, nwin, axis=0)      # (B*nWin, Nk)
+        bias_full = jnp.where(key_pad, -1e9, bias_full)
 
     out = _attention_core(q_win, k_all, v_all, bias_full, b)
     out = out.transpose(0, 2, 1, 3).reshape(b * nwin, t * wh * ww, c)
@@ -242,18 +260,24 @@ def _attention_core(q_win, k_all, v_all, bias_full, b):
 
     Two interchangeable backends (validated equal to ~5e-4 in bf16):
 
-    - 'xla': batched einsums + softmax (default — measured slightly faster
-      at the base window geometry, where the logits matrix still fits HBM
-      comfortably and XLA fuses the bias/softmax chain),
-    - 'flash': the Pallas flash-attention kernel (TPU only; never
-      materializes the (Bw, heads, Nq, Nk) logits). The 0/-100
-      pooled-boundary bias is binary, so it maps exactly onto flash
-      attention's segment masking. Select with E2FGVI_ATTENTION=flash —
-      the right choice for much larger windows/resolutions.
+    - 'flash': the Pallas flash-attention kernel (TPU default; never
+      materializes the (Bw, heads, Nq, Nk) logits — the logits tensor is
+      the dominant HBM traffic of the whole transformer at the base
+      geometry). The 0/-100 pooled-boundary bias is binary, so it maps
+      exactly onto flash attention's segment masking. With block sizes
+      covering the full key axis per q block this measures 39.8 ms vs the
+      XLA path's 74.7 ms at the bench geometry (B=8, T=17).
+    - 'xla': batched einsums + softmax — the CPU/interpret path, and the
+      fallback for geometries the kernel can't tile. Select with
+      E2FGVI_ATTENTION=xla.
     """
     import os
-    if (os.environ.get("E2FGVI_ATTENTION") == "flash"
-            and jax.default_backend() != "cpu"):
+    if (os.environ.get("E2FGVI_ATTENTION", "flash") == "flash"
+            and jax.default_backend() != "cpu"
+            and q_win.dtype in (jnp.bfloat16, jnp.float16)):
+        # 16-bit speed path only: the whole-key-axis blocks exceed the
+        # scoped-VMEM budget at f32, and the f32 path is the parity path
+        # where the fused kernel buys little
         return _attention_flash(q_win, k_all, v_all, bias_full, b)
     return _attention_xla(q_win, k_all, v_all, bias_full, b)
 
@@ -262,8 +286,7 @@ def _attention_xla(q_win, k_all, v_all, bias_full, b):
     dtype = q_win.dtype
     attn = jnp.einsum("bhqd,bhkd->bhqk", q_win, k_all,
                       preferred_element_type=jnp.float32)
-    bias_b = jnp.tile(bias_full, (b, 1))[:, None, None, :]
-    attn = attn + bias_b
+    attn = attn + bias_full[:, None, None, :]
     attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", attn, v_all,
                       preferred_element_type=jnp.float32).astype(dtype)
@@ -274,8 +297,12 @@ def _attention_flash(q_win, k_all, v_all, bias_full, b):
 
     bw, heads, nq, hd = q_win.shape
     nk = k_all.shape[2]
+    # block tuning (measured at the bench geometry): one q block spanning
+    # the whole (padded) query axis and 512-wide k blocks under a
+    # whole-axis k-major block halves the default kernel's runtime. k is
+    # padded to a multiple of 512 so block_k always divides block_k_major.
     pad_q = (-nq) % 128
-    pad_k = (-nk) % 128
+    pad_k = (-nk) % 512 if nk > 512 else (-nk) % 128
     q = jnp.pad(q_win, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
     k = jnp.pad(k_all, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
     v = jnp.pad(v_all, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
@@ -286,13 +313,20 @@ def _attention_flash(q_win, k_all, v_all, bias_full, b):
     q_seg = jnp.concatenate(
         [jnp.zeros((bw, nq), jnp.int32),
          jnp.full((bw, pad_q), 1, jnp.int32)], axis=1)
-    kv_mask = (jnp.tile(bias_full, (b, 1)) < -50.0)
+    kv_mask = (bias_full < -50.0)
     kv_seg = jnp.concatenate(
         [jnp.where(kv_mask, 2, 0).astype(jnp.int32),
          jnp.full((bw, pad_k), 2, jnp.int32)], axis=1)
+    nqp, nkp = nq + pad_q, nk + pad_k
+    bq = nqp
+    if bq > 1024:                       # block_q must divide padded nq
+        bq = max(d for d in (512, 256, 128) if nqp % d == 0)
+    bs = fa.BlockSizes(block_q=bq,
+                       block_k_major=nkp, block_k=min(512, nkp),
+                       block_b=1)
     out = fa.flash_attention(
         q, k, v, segment_ids=fa.SegmentIds(q=q_seg, kv=kv_seg),
-        sm_scale=1.0)
+        sm_scale=1.0, block_sizes=bs)
     return out[:, :, :nq, :].astype(q_win.dtype)
 
 
@@ -303,9 +337,21 @@ def _attention_flash(q_win, k_all, v_all, bias_full, b):
 def fusion_feed_forward(params, x, t, output_size):
     """x: (B, N, C) tokens; overlap-renormalized token mixing (F3N).
 
-    Hidden units are laid out (kernel-position, channel) so the fold/unfold
-    is a pure reshape (see module docstring).
+    Two exact formulations (validated equal to ~6e-7 rel in f32):
+
+    - 'conv': fc1+fold collapse into ONE lhs-dilated convolution
+      (tokens -> pixels) and unfold+fc2 into ONE strided convolution
+      (pixels -> tokens), with gelu moved to pixel space (elementwise ops
+      commute with the pure-gather unfold). The (B, N, 1960) hidden patch
+      tensor — 5x the pixel tensor — is never materialized.
+    - 'gemm': the literal chain (fc1 GEMM -> fold -> unfold -> gelu ->
+      fc2 GEMM); hidden units are laid out (kernel-position, channel) so
+      fold/unfold need no runtime permutes (see module docstring).
+      Select with E2FGVI_F3N=gemm.
     """
+    import os
+    if os.environ.get("E2FGVI_F3N", "conv") == "conv":
+        return _fusion_feed_forward_conv(params, x, t, output_size)
     b, n, c = x.shape
     hid = linear(x, params["fc1"]["w"], params["fc1"]["b"])  # (B, N, 1960)
     hd = hid.shape[-1]
@@ -319,6 +365,52 @@ def fusion_feed_forward(params, x, t, output_size):
     y = y.reshape(b, n, hd)
     y = gelu(y)
     return linear(y, params["fc2"]["w"], params["fc2"]["b"])
+
+
+def _fusion_feed_forward_conv(params, x, t, output_size):
+    """Conv-form F3N (see fusion_feed_forward).
+
+    Derivation: hidden patches are k-major, so fold(fc1(x)) ==
+    conv(x_tokens, flip(W1), lhs_dilation=stride) — a transposed conv from
+    the token grid to pixel space — plus the fold of the broadcast fc1
+    bias (a static map). unfold is a pure gather, so gelu commutes with
+    it, and fc2(unfold(z)) == conv(z, W2, stride) back to the token grid.
+    """
+    from e2fgvi_tpu.ops.patches import fold, fold_counts
+    hh, ww = output_size
+    kh, kw = T2T_KERNEL
+    sh, sw = T2T_STRIDE
+    ph, pw = T2T_PADDING
+    lh, lw = token_grid(output_size)
+    b, n, c = x.shape
+    bt = b * (n // (lh * lw))
+    cc = params["fc1"]["w"].shape[-1] // (kh * kw)
+    # output cropping can't express pad_hi < 0 (never hits for the t2t
+    # arithmetic at tile-able sizes)
+    pad_hi_h = hh - sh * (lh - 1) - 1 - ph + kh - 1
+    pad_hi_w = ww - sw * (lw - 1) - 1 - pw + kw - 1
+    assert pad_hi_h >= 0 and pad_hi_w >= 0, (hh, ww, lh, lw)
+
+    xt = x.reshape(bt, lh, lw, c)
+    w1 = params["fc1"]["w"].reshape(c, kh, kw, cc)
+    k1 = jnp.flip(w1, axis=(1, 2)).transpose(1, 2, 0, 3)
+    z = jax.lax.conv_general_dilated(
+        xt, k1, window_strides=(1, 1),
+        padding=((ph, pad_hi_h), (pw, pad_hi_w)), lhs_dilation=(sh, sw),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    bpatch = jnp.broadcast_to(
+        params["fc1"]["b"].reshape(1, 1, 1, kh, kw, cc),
+        (1, lh, lw, kh, kw, cc)).astype(z.dtype)
+    foldb = fold(bpatch, output_size, T2T_KERNEL, T2T_STRIDE, T2T_PADDING)
+    cnt = fold_counts(output_size, T2T_KERNEL, T2T_STRIDE, T2T_PADDING,
+                      dtype=jnp.float32)
+    z = ((z + foldb).astype(jnp.float32) / cnt[None]).astype(z.dtype)
+    zg = gelu(z)
+    w2 = params["fc2"]["w"].reshape(kh, kw, cc, c)
+    y = jax.lax.conv_general_dilated(
+        zg, w2, window_strides=(sh, sw), padding=((ph, ph), (pw, pw)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return (y + params["fc2"]["b"]).reshape(b, n, c)
 
 
 # ---------------------------------------------------------------------------
@@ -359,7 +451,7 @@ def _pool_level(params, x, window_size):
 
 
 def transformer_block(params, x, output_size, num_heads=4,
-                      window_size=(5, 9), focal_level=2):
+                      window_size=(5, 9), focal_level=2, frame_valid=None):
     """One temporal focal transformer block. x: (B, T, fh, fw, C)."""
     b, t, h, w, c = x.shape
     wh, ww = window_size
@@ -369,7 +461,7 @@ def transformer_block(params, x, output_size, num_heads=4,
     xn = layer_norm(x, params["norm1"]["g"], params["norm1"]["b"])
     pooled = _pool_level(params, xn, window_size) if focal_level > 1 else None
     attn = window_attention(params["attn"], xn, pooled, num_heads,
-                            window_size, expand)
+                            window_size, expand, frame_valid=frame_valid)
     attn = attn.reshape(b * (h // wh) * (w // ww), t, wh, ww, c)
     x = shortcut + _window_reverse(attn, wh, ww, b, t, h, w)
 
@@ -380,10 +472,10 @@ def transformer_block(params, x, output_size, num_heads=4,
 
 
 def transformer_stack(params_list, x, output_size, num_heads=4,
-                      window_size=(5, 9), focal_level=2):
+                      window_size=(5, 9), focal_level=2, frame_valid=None):
     for p in params_list:
         x = transformer_block(p, x, output_size, num_heads, window_size,
-                              focal_level)
+                              focal_level, frame_valid=frame_valid)
     return x
 
 

@@ -236,3 +236,30 @@ def test_window_attention_parity(rng):
             torch.from_numpy(x), torch.from_numpy(pooled), wq, bq, wp, bp
         ).numpy()
     np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_f3n_conv_equals_gemm(rng):
+    """The conv-form F3N (transposed conv + conv, gelu in pixel space) must
+    match the literal GEMM+fold+unfold chain exactly (both are exact
+    formulations of the reference F3N)."""
+    import os
+    dim = 32
+    params = {
+        "fc1": {"w": jnp.asarray(rng.standard_normal((dim, D_FF)
+                                                     ).astype(np.float32) * 0.1),
+                "b": jnp.asarray(rng.standard_normal(D_FF).astype(np.float32))},
+        "fc2": {"w": jnp.asarray(rng.standard_normal((D_FF, dim)
+                                                     ).astype(np.float32) * 0.1),
+                "b": jnp.asarray(rng.standard_normal(dim).astype(np.float32))},
+    }
+    x = jnp.asarray(rng.standard_normal((B, T * FH * FW, dim),
+                                        dtype=np.float32))
+    conv = np.asarray(tfocal._fusion_feed_forward_conv(params, x, T,
+                                                       OUT_SIZE))
+    os.environ["E2FGVI_F3N"] = "gemm"
+    try:
+        gemm = np.asarray(tfocal.fusion_feed_forward(params, x, T,
+                                                     OUT_SIZE))
+    finally:
+        del os.environ["E2FGVI_F3N"]
+    np.testing.assert_allclose(conv, gemm, rtol=2e-5, atol=2e-5)
