@@ -95,7 +95,7 @@ def main(argv=None):
     runner = SlidingWindowInpainter(
         params, generator_forward, neighbor_stride=args.neighbor_stride,
         ref_length=args.step, num_ref=args.num_ref,
-        max_batch=args.max_batch, dtype=dtype)
+        max_batch=args.max_batch, dtype=dtype, out_dtype=np.uint8)
 
     print(f"Inpainting {video_length} frames at {size[0]}x{size[1]} ...")
     t0 = time.time()
@@ -109,7 +109,7 @@ def main(argv=None):
     base = os.path.basename(os.path.normpath(args.video))
     base = base.replace(".mp4", "") + "_results.mp4"
     out_path = write_video(os.path.join(args.out, base),
-                           [c.astype(np.uint8) for c in comp],
+                           [np.asarray(c, np.uint8) for c in comp],
                            fps=args.savefps)
     print(f"Saved: {out_path}")
     return out_path

@@ -112,7 +112,8 @@ class SlidingWindowInpainter:
                  neighbor_stride: int = 5,
                  ref_length: int = 10, num_ref: int = -1,
                  max_batch: int = 8, pad_mod=(60, 108),
-                 dtype=jnp.float32, band_override: int | None = None):
+                 dtype=jnp.float32, band_override: int | None = None,
+                 out_dtype=np.float32):
         from e2fgvi_tpu.models import e2fgvi
         from e2fgvi_tpu.ops.resize import resize_scale_quarter
         self.params = params
@@ -173,11 +174,12 @@ class SlidingWindowInpainter:
             else:
                 ff = jnp.zeros((b, 0, *flows_f.shape[1:]), flows_f.dtype)
                 fb = ff
-            out = e2fgvi.window_stage(params, feat, (ff, fb), n_local,
-                                      num_out=n_local, dcn_band=dcn_band,
-                                      valid_local=valid, frame_valid=fvalid)
+            out, off_bound = e2fgvi.window_stage(
+                params, feat, (ff, fb), n_local, num_out=n_local,
+                dcn_band=dcn_band, valid_local=valid, frame_valid=fvalid,
+                with_offset_bound=True)
             out = (out.astype(jnp.float32) + 1.0) / 2.0 * 255.0
-            return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
+            return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8), off_bound
 
         def _flow_y_bound(flows_f, flows_b):
             """Max |flow_y| over both branches INCLUDING the second-order
@@ -230,6 +232,11 @@ class SlidingWindowInpainter:
             _os.environ.get("E2FGVI_DCN", "banded") == "banded"
             and jax.default_backend() == "tpu")
         self.band_override = band_override
+        # float32: the reference's metric-path contract (blend quarters,
+        # f16-exact). uint8: the video-writing contract (the reference
+        # truncates comp to uint8 at write time, test.py:183-196) —
+        # skips the 4x-larger float scatter on the host.
+        self.out_dtype = np.dtype(out_dtype)
 
     def __call__(self, frames: np.ndarray, masks: np.ndarray,
                  orig_frames: np.ndarray, binary_masks: np.ndarray,
@@ -251,11 +258,13 @@ class SlidingWindowInpainter:
         marks = [("start", time.time())]
 
         def mark(name, fence=None):
-            if _TIMING:
-                if fence is not None:
-                    np.asarray(jnp.sum(
-                        fence.astype(jnp.float32).ravel()[:1]))
-                marks.append((name, time.time()))
+            # fencing (a forced device sync) only under the timing env —
+            # phase attribution costs round trips; the unfenced marks
+            # still split pure-host phases from device/link time
+            if _TIMING and fence is not None:
+                np.asarray(jnp.sum(
+                    fence.astype(jnp.float32).ravel()[:1]))
+            marks.append((name, time.time()))
 
         # upload the whole (mirror-padded) video ONCE as uint8, padded in T
         # to a bucket length (multiple of the encode chunk) so per-video
@@ -322,15 +331,26 @@ class SlidingWindowInpainter:
         # per-video flow bound (ONE scalar readback; the banded kernel is
         # exact within the band — kernels/dcn_band.py; None -> XLA gather)
         dcn_band = None
+        adaptive = False
         quarter_w = frames_u8.shape[2] // 4
         if self._banded_dcn and n_pairs > 0 and quarter_w <= 127:
             if self.band_override is not None:
                 dcn_band = self.band_override or None
             else:
-                from e2fgvi_tpu.kernels.dcn_band import band_for_flow_bound
+                from e2fgvi_tpu.kernels import dcn_band as bandlib
                 fy = float(np.asarray(self._flow_bound_jit(flows_f,
                                                            flows_b)))
-                dcn_band = band_for_flow_bound(fy)
+                # optimistic band: assume small learned residuals; the
+                # forward measures the true offset bound and a violated
+                # contract triggers one exact re-dispatch below
+                band_safe = bandlib.band_for_flow_bound(fy)
+                band_opt = bandlib.band_for_offset_bound(
+                    fy + bandlib.RESIDUAL_GUESS)
+                if band_opt is not None and (band_safe is None
+                                             or band_opt < band_safe):
+                    dcn_band, adaptive = band_opt, True
+                else:
+                    dcn_band = band_safe
         mark(f"flow_bound(band={dcn_band})")
 
         # stage 3: ALL windows share one end-padded (T_pad, L) geometry
@@ -370,6 +390,7 @@ class SlidingWindowInpainter:
                 self.max_batch, _XLA_DCN_MAX_BATCH)
             pred_row = {}    # (window, local_idx) -> row in preds_flat
             outs = []
+            bounds = []
             row_base = 0
             done = 0
             for s in range(0, len(plans), mb):
@@ -382,10 +403,11 @@ class SlidingWindowInpainter:
                     arrs = [np.concatenate([a] + [a[-1:]] * pad_n, 0)
                             for a in arrs]
                 args = [jnp.asarray(a) for a in arrs]
-                out = self._window_jit(self.params, feat_all, flows_f,
-                                       flows_b, *args, n_local, band)
+                out, ob = self._window_jit(self.params, feat_all, flows_f,
+                                           flows_b, *args, n_local, band)
                 b = out.shape[0]
                 outs.append(out.reshape(b * n_local, *out.shape[2:]))
+                bounds.append(ob)
                 for bi, wi in enumerate(chunk):
                     for li in range(len(plans[wi].neighbors)):
                         pred_row[(wi, li)] = row_base + bi * n_local + li
@@ -393,24 +415,36 @@ class SlidingWindowInpainter:
                 done += len(chunk)
                 if progress is not None:
                     progress(done, len(plans))
-            return pred_row, outs
+            return pred_row, outs, bounds
 
-        try:
-            pred_row, outs = dispatch(dcn_band)
-        except jax.errors.JaxRuntimeError as e:
-            if dcn_band is None:
-                raise
-            # large bands at large batches can exceed the kernel's
-            # scoped-VMEM budget at compile time — fall back to the XLA
-            # sampler (at its safe batch) rather than failing the video
-            import sys
-            print("[pipeline] banded DCN compile failed "
-                  f"(band={dcn_band}), falling back to XLA sampler: "
-                  + " | ".join(str(e).splitlines()[:2]),
-                  file=sys.stderr, flush=True)
-            dcn_band = None
-            pred_row, outs = dispatch(None)
-        mark("dispatch")
+        def dispatch_with_fallback(band):
+            try:
+                return dispatch(band), band
+            except jax.errors.JaxRuntimeError as e:
+                if band is None:
+                    raise
+                # large bands at large batches can exceed the kernel's
+                # scoped-VMEM budget at compile time — fall back to the
+                # XLA sampler (at its safe batch) over failing the video
+                import sys
+                print("[pipeline] banded DCN compile failed "
+                      f"(band={band}), falling back to XLA sampler: "
+                      + " | ".join(str(e).splitlines()[:2]),
+                      file=sys.stderr, flush=True)
+                return dispatch(None), None
+
+        (pred_row, outs, bounds), dcn_band = dispatch_with_fallback(
+            dcn_band)
+        if adaptive and dcn_band is not None:
+            from e2fgvi_tpu.kernels.dcn_band import band_for_offset_bound
+            off_max = max(float(np.asarray(ob)) for ob in bounds)
+            need = band_for_offset_bound(off_max)
+            if need is None or need > dcn_band:
+                # measured offsets exceed the optimistic band's exactness
+                # contract — re-dispatch at the exact band
+                (pred_row, outs, bounds), dcn_band = \
+                    dispatch_with_fallback(need)
+        mark(f"dispatch(band={dcn_band})")
 
         # composite + overlap blend ON DEVICE: the reference's sequential
         # 50/50 blend (test.py:177-179) resolves to static per-(frame,
@@ -458,18 +492,23 @@ class SlidingWindowInpainter:
             jnp.asarray(midx), h, w))
         mark("assemble_pull")
 
-        # scatter the masked pixels into float32 copies of the originals:
+        # scatter the masked pixels into copies of the originals:
         # comp = blend*mask + orig*(1-mask), reference test.py:168-179
-        comp_np = orig_frames.astype(np.float32)
+        if self.out_dtype == np.uint8:
+            comp_np = orig_frames.copy()
+        else:
+            comp_np = orig_frames.astype(self.out_dtype)
         comp_np.reshape(-1, comp_np.shape[-1])[mask_idx] = \
-            pulled[:n_masked].astype(np.float32)
+            pulled[:n_masked].astype(self.out_dtype)
         comp = [comp_np[i] for i in range(video_length)]
         mark("scatter")
+        self.last_marks = {}
+        prev = marks[0][1]
+        for name, tt in marks[1:]:
+            self.last_marks[name] = tt - prev
+            prev = tt
         if _TIMING:
-            prev = marks[0][1]
-            rep = []
-            for name, tt in marks[1:]:
-                rep.append(f"{name}={1e3*(tt-prev):.0f}ms")
-                prev = tt
-            print("[pipeline] " + " ".join(rep), flush=True)
+            print("[pipeline] " + " ".join(
+                f"{k}={1e3 * v:.0f}ms" for k, v in self.last_marks.items()),
+                flush=True)
         return comp

@@ -34,15 +34,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 MAX_BAND = 80
-BAND_BUCKETS = (32, 48, 64, 80)
+BAND_BUCKETS = (16, 24, 32, 48, 64, 80)
 # |residual| < max_residue_magnitude (feat_prop.py:41-50) and the 3x3 tap
 # adds +-1; +2 covers the floor/ceil corners on both sides.
 _OFFSET_SLACK = 10 + 1 + 2
+# tap +-1 and floor/ceil corners +-2 — the slack that remains once the
+# actual offset magnitude (flow + tanh residual) has been measured
+_TAP_CORNER_SLACK = 1 + 2
+# assumed residual magnitude for the optimistic first dispatch; trained
+# residual heads keep offsets near the guiding flow, so small residuals
+# dominate in practice. The in-forward measured bound catches violations
+# and triggers an exact re-dispatch (data/pipeline.py).
+RESIDUAL_GUESS = 4.0
 
 
 def band_for_flow_bound(max_abs_flow_y: float) -> int | None:
     """Smallest band bucket covering |flow_y| <= max_abs_flow_y (in quarter
-    -res pixels, AFTER any second-order composition), or None -> XLA path."""
+    -res pixels, AFTER any second-order composition) plus the worst-case
+    tanh residual, or None -> XLA path."""
     need = 2 * (math.ceil(max_abs_flow_y) + _OFFSET_SLACK) + 1
     for b in BAND_BUCKETS:
         if b >= need:
@@ -50,8 +59,19 @@ def band_for_flow_bound(max_abs_flow_y: float) -> int | None:
     return None
 
 
-def _sampler_kernel(src_ref, py_ref, px_ref, m_ref, out_ref, *, band, cg,
-                    hp, wp, dy_lo, dtype):
+def band_for_offset_bound(max_abs_off_y: float) -> int | None:
+    """Smallest band bucket exact for a MEASURED vertical offset bound
+    (|flow_y + residual_y| as computed by the offset head)."""
+    need = 2 * (math.ceil(max_abs_off_y) + _TAP_CORNER_SLACK) + 1
+    for b in BAND_BUCKETS:
+        if b >= need:
+            return b
+    return None
+
+
+def _sampler_kernel(lo_ref, hi_ref, src_ref, py_ref, px_ref, m_ref,
+                    out_ref, *, band, cg, hp, wp, dy_lo, dtype,
+                    dynamic_bounds):
     py = py_ref[0, 0]
     px = px_ref[0, 0]
     x0 = jnp.clip(jnp.floor(px), 0, wp - 2).astype(jnp.int32)
@@ -98,37 +118,83 @@ def _sampler_kernel(src_ref, py_ref, px_ref, m_ref, out_ref, *, band, cg,
             new.append(acc)
         return tuple(new)
 
+    # sweep only the 8-row blocks this (batch*group, tap) tile can touch:
+    # the needed row range follows from the tile's measured vertical
+    # offsets (computed in XLA, delivered as SMEM scalars). Rows outside
+    # contribute exactly zero weight, so skipping them is exact; typical
+    # trained offsets need ~2 of the band's 6-10 blocks. (Interpret mode
+    # sweeps the full band — dynamic trip counts make the Python
+    # interpreter pathologically slow at real shapes.)
+    if dynamic_bounds:
+        i = pl.program_id(0)
+        t = pl.program_id(1)
+        lo_blk = lo_ref[i, t] // 8
+        hi_blk = (hi_ref[i, t] + 7) // 8
+    else:
+        lo_blk, hi_blk = 0, band // 8
     accs = jax.lax.fori_loop(
-        0, band // 8, blk_step,
+        lo_blk, hi_blk, blk_step,
         tuple(jnp.zeros((hp, wp), gdt) for _ in range(cg)))
     for c in range(cg):
         out_ref[0, 0, c] = accs[c].astype(dtype) * m
 
 
 @functools.lru_cache(maxsize=None)
-def _build_sampler(ng, k, cg, hp, wp, band, dy_lo, dtype_name, interpret):
+def _build_sampler(ng, k, cg, hp, wp, band, dy_lo, dtype_name, interpret,
+                   light=False):
     dtype = jnp.dtype(dtype_name).type
     hs = hp + band
     kern = functools.partial(_sampler_kernel, band=band, cg=cg, hp=hp,
-                             wp=wp, dy_lo=dy_lo, dtype=dtype)
+                             wp=wp, dy_lo=dy_lo, dtype=dtype,
+                             dynamic_bounds=not light)
+    if light:
+        # full-band sweep, no scalar args — for interpret mode and CPU
+        # backends (the interpreter is pathologically slow on dynamic trip
+        # counts and scalar-prefetch grid specs)
+        def kern_i(src_ref, py_ref, px_ref, m_ref, out_ref):
+            kern(None, None, src_ref, py_ref, px_ref, m_ref, out_ref)
+
+        return pl.pallas_call(
+            kern_i,
+            grid=(ng, k),
+            in_specs=[
+                pl.BlockSpec((1, cg, hs, wp), lambda i, t: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, hp, wp), lambda i, t: (i, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, hp, wp), lambda i, t: (i, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, hp, wp), lambda i, t: (i, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, cg, hp, wp),
+                                   lambda i, t: (i, t, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((ng, k, cg, hp, wp), dtype),
+            interpret=bool(interpret),
+        )
+
+    # TPU: per-(batch*group, tap) row bounds ride as scalar-prefetch args
+    # (SMEM), indexed by program_id in-kernel
     return pl.pallas_call(
         kern,
-        grid=(ng, k),
-        in_specs=[
-            pl.BlockSpec((1, cg, hs, wp), lambda i, t: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hp, wp), lambda i, t: (i, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hp, wp), lambda i, t: (i, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hp, wp), lambda i, t: (i, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, cg, hp, wp),
-                               lambda i, t: (i, t, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(ng, k),
+            in_specs=[
+                pl.BlockSpec((1, cg, hs, wp), lambda i, t, lo, hi:
+                             (i, 0, 0, 0)),
+                pl.BlockSpec((1, 1, hp, wp), lambda i, t, lo, hi:
+                             (i, t, 0, 0)),
+                pl.BlockSpec((1, 1, hp, wp), lambda i, t, lo, hi:
+                             (i, t, 0, 0)),
+                pl.BlockSpec((1, 1, hp, wp), lambda i, t, lo, hi:
+                             (i, t, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, cg, hp, wp),
+                                   lambda i, t, lo, hi: (i, t, 0, 0, 0)),
+        ),
         out_shape=jax.ShapeDtypeStruct((ng, k, cg, hp, wp), dtype),
-        interpret=bool(interpret),
     )
 
 
@@ -177,6 +243,18 @@ def modulated_deform_conv2d_banded(x, offset, mask, w, b=None, *,
     pxg = pos_layout(px)
     mg = pos_layout(mask.astype(jnp.float32))
 
+    # per-(N*G, K) needed row range: a band row di contributes iff
+    # |py - (row + dy_lo + di)| < 1, and py - row = (ky - padding) + off_y
+    # — so the range follows from the tile's offset extrema (computed
+    # BEFORE pos_layout's -1e4 padding, which would pin the minimum)
+    rel = off[..., 0] + (ky[None, None, None, None, :] - padding) - dy_lo
+    rel_min = jnp.min(rel, axis=(1, 2))            # (N, G, K)
+    rel_max = jnp.max(rel, axis=(1, 2))
+    row_lo = jnp.clip(jnp.floor(rel_min - 1), 0, band).astype(jnp.int32)
+    row_hi = jnp.clip(jnp.ceil(rel_max + 1) + 1, 0, band).astype(jnp.int32)
+    row_lo = row_lo.reshape(n * g, k)
+    row_hi = jnp.maximum(row_hi.reshape(n * g, k), row_lo)
+
     # src: (N,H,W,Cin) -> (N*G, CG, HS, WP), rows shifted so padded row r
     # holds real row r + dy_lo (zero outside)
     xs = x.reshape(n, h, wdt, g, cg).transpose(0, 3, 4, 1, 2)
@@ -184,9 +262,18 @@ def modulated_deform_conv2d_banded(x, offset, mask, w, b=None, *,
     xs = jnp.pad(xs, ((0, 0), (0, 0),
                       (-dy_lo, band + dy_lo + hp - h), (0, wp - wdt)))
 
+    # the static full-sweep variant also serves CPU backends (e.g. tests
+    # under force_tpu_interpret_mode): the interpreter is pathologically
+    # slow on dynamic trip counts and scalar-prefetch grids
+    light = bool(interpret) or jax.default_backend() == "cpu"
     sampler = _build_sampler(n * g, k, cg, hp, wp, band, dy_lo,
-                             jnp.dtype(dtype).name, interpret)
-    sampled = sampler(xs, pyg, pxg, mg)        # (N*G, K, CG, HP, WP)
+                             jnp.dtype(dtype).name, bool(interpret),
+                             light=light)
+    if light:
+        sampled = sampler(xs, pyg, pxg, mg)
+    else:
+        sampled = sampler(row_lo, row_hi, xs, pyg, pxg, mg)
+    # -> (N*G, K, CG, HP, WP)
 
     # contract in the sampler's native (N, G, K, CG, H, W) layout — a
     # transpose to (N, P, K*Cin) materializes a tensor whose (9, 16) minor

@@ -175,7 +175,8 @@ def forward_bidirect_flow(spynet_params, masked_local_frames):
 
 
 def window_stage(params, feat, pred_flows, num_local_frames, num_out=None,
-                 dcn_band=None, valid_local=None, frame_valid=None):
+                 dcn_band=None, valid_local=None, frame_valid=None,
+                 with_offset_bound=False, remat=False):
     """Per-window compute on precomputed encoder features.
 
     This is everything downstream of the (window-independent) encoder and
@@ -209,7 +210,11 @@ def window_stage(params, feat, pred_flows, num_local_frames, num_out=None,
 
     local_feat = feat_prop.bidirectional_propagation(
         params["feat_prop"], feat[:, :lt], pred_flows[0], pred_flows[1],
-        dcn_band=dcn_band, valid_len=valid_local)
+        dcn_band=dcn_band, valid_len=valid_local,
+        with_offset_bound=with_offset_bound, remat=remat)
+    off_bound = None
+    if with_offset_bound:
+        local_feat, off_bound = local_feat
     enc_feat = jnp.concatenate([local_feat, feat[:, lt:]], axis=1)
 
     output_size = (hq, wq)
@@ -217,16 +222,21 @@ def window_stage(params, feat, pred_flows, num_local_frames, num_out=None,
                                enc_feat.reshape(b * t, hq, wq, c), b)
     tokens = tfocal.transformer_stack(params["transformer"], tokens,
                                       output_size, NUM_HEADS, WINDOW_SIZE,
-                                      FOCAL_LEVEL, frame_valid=frame_valid)
+                                      FOCAL_LEVEL, frame_valid=frame_valid,
+                                      remat=remat)
     trans_feat = tfocal.soft_comp(params["sc"], tokens[:, :n_out], n_out,
                                   output_size)
     out_feat = enc_feat[:, :n_out] + trans_feat.reshape(b, n_out, hq, wq, c)
 
     out = decode(params["decoder"], out_feat.reshape(b * n_out, hq, wq, c))
-    return jnp.tanh(out).reshape(b, n_out, *out.shape[1:])
+    out = jnp.tanh(out).reshape(b, n_out, *out.shape[1:])
+    if with_offset_bound:
+        return out, off_bound
+    return out
 
 
-def generator_forward(params, masked_frames, num_local_frames):
+def generator_forward(params, masked_frames, num_local_frames,
+                      remat=False):
     """Full generator forward.
 
     Args:
@@ -249,5 +259,5 @@ def generator_forward(params, masked_frames, num_local_frames):
     hq, wq = enc_feat.shape[1], enc_feat.shape[2]
     c = enc_feat.shape[-1]
     enc_feat = enc_feat.reshape(b, t, hq, wq, c)
-    out = window_stage(params, enc_feat, pred_flows, lt)
+    out = window_stage(params, enc_feat, pred_flows, lt, remat=remat)
     return out.reshape(b * t, h, w, 3), pred_flows

@@ -99,14 +99,17 @@ def _offsets_from_head(out, flow_1, flow_2):
     return offsets, mask
 
 
-def _deform_align(p, x, cond, flow_1, flow_2, dcn_band=None):
+def _deform_align(p, x, cond, flow_1, flow_2, dcn_band=None,
+                  off_bounds=None):
     """SecondOrderDeformableAlignment (feat_prop.py:13-58).
 
     x: (N, H, W, 2*C) = [first-order state, second-order state].
     cond: (N, H, W, 3*C) = [warped n1, current, warped n2].
     dcn_band: static int -> use the banded Pallas sampler (exact while
-      |flow_y| stays within the band contract, kernels/dcn_band.py);
-      None -> the XLA block-gather path.
+      the vertical offsets stay within the band contract,
+      kernels/dcn_band.py); None -> the XLA block-gather path.
+    off_bounds: optional list — appends this call's max |offset_y| scalar
+      (the measured quantity the band contract is checked against).
     """
     feat = jnp.concatenate([cond, flow_1, flow_2], axis=-1)
     for i, cp in enumerate(p["conv_offset"]):
@@ -114,6 +117,8 @@ def _deform_align(p, x, cond, flow_1, flow_2, dcn_band=None):
         if i < len(p["conv_offset"]) - 1:
             feat = leaky_relu(feat, 0.1)
     offsets, mask = _offsets_from_head(feat, flow_1, flow_2)
+    if off_bounds is not None:
+        off_bounds.append(jnp.abs(offsets[..., 0]).max())
     if dcn_band is not None:
         from e2fgvi_tpu.kernels.dcn_band import modulated_deform_conv2d_banded
         return modulated_deform_conv2d_banded(x, offsets, mask, p["w"],
@@ -123,7 +128,8 @@ def _deform_align(p, x, cond, flow_1, flow_2, dcn_band=None):
 
 def bidirectional_propagation(params, x, flows_backward_branch,
                               flows_forward_branch, dcn_band=None,
-                              valid_len=None):
+                              valid_len=None, with_offset_bound=False,
+                              remat=False):
     """Propagate features both ways and fuse.
 
     Argument order follows the reference *call site* exactly
@@ -160,6 +166,15 @@ def bidirectional_propagation(params, x, flows_backward_branch,
     if valid_len is not None:
         # backward scan step index of each element's first real frame
         first_real_step = (t - valid_len).astype(jnp.int32)
+    off_bounds = [] if with_offset_bound else None
+    align = _deform_align
+    if remat:
+        # training: rematerialize each alignment in the backward pass —
+        # the saved DCN residuals otherwise dominate the training step's
+        # activation memory (they are per-step, per-tap, per-group)
+        align = jax.checkpoint(
+            lambda p, s, c, f1, f2: _deform_align(p, s, c, f1, f2,
+                                                  dcn_band=dcn_band))
     spatial = [x[:, i] for i in range(t)]
     feats = {}
 
@@ -201,9 +216,14 @@ def bidirectional_propagation(params, x, flows_backward_branch,
                 cond = jnp.concatenate([cond_n1, feat_current, cond_n2],
                                        axis=-1)
                 stacked = jnp.concatenate([feat_prop, feat_n2], axis=-1)
-                feat_prop = _deform_align(p["deform"], stacked, cond,
-                                          flow_n1, flow_n2,
-                                          dcn_band=dcn_band)
+                if remat:
+                    feat_prop = align(p["deform"], stacked, cond,
+                                      flow_n1, flow_n2)
+                else:
+                    feat_prop = _deform_align(p["deform"], stacked, cond,
+                                              flow_n1, flow_n2,
+                                              dcn_band=dcn_band,
+                                              off_bounds=off_bounds)
                 if masked:
                     # first real step: discard the alignment of pad state
                     # (the reference skips alignment entirely at i==0)
@@ -234,4 +254,9 @@ def bidirectional_propagation(params, x, flows_backward_branch,
                               axis=-1)
         fused.append(conv2d(cat, params["fusion"]["w"],
                             params["fusion"]["b"], padding=0))
-    return jnp.stack(fused, axis=1) + x
+    out = jnp.stack(fused, axis=1) + x
+    if with_offset_bound:
+        bound = (jnp.max(jnp.stack(off_bounds)) if off_bounds
+                 else jnp.float32(0))
+        return out, bound
+    return out

@@ -393,7 +393,9 @@ def _fusion_feed_forward_conv(params, x, t, output_size):
 
     xt = x.reshape(bt, lh, lw, c)
     w1 = params["fc1"]["w"].reshape(c, kh, kw, cc)
-    k1 = jnp.flip(w1, axis=(1, 2)).transpose(1, 2, 0, 3)
+    # conv requires matching dtypes; mixed setups (bf16 params, f32
+    # activations and vice versa) follow the activation dtype like linear()
+    k1 = jnp.flip(w1, axis=(1, 2)).transpose(1, 2, 0, 3).astype(xt.dtype)
     z = jax.lax.conv_general_dilated(
         xt, k1, window_strides=(1, 1),
         padding=((ph, pad_hi_h), (pw, pad_hi_w)), lhs_dilation=(sh, sw),
@@ -406,11 +408,11 @@ def _fusion_feed_forward_conv(params, x, t, output_size):
                       dtype=jnp.float32)
     z = ((z + foldb).astype(jnp.float32) / cnt[None]).astype(z.dtype)
     zg = gelu(z)
-    w2 = params["fc2"]["w"].reshape(kh, kw, cc, c)
+    w2 = params["fc2"]["w"].reshape(kh, kw, cc, c).astype(zg.dtype)
     y = jax.lax.conv_general_dilated(
         zg, w2, window_strides=(sh, sw), padding=((ph, ph), (pw, pw)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return (y + params["fc2"]["b"]).reshape(b, n, c)
+    return (y + params["fc2"]["b"].astype(y.dtype)).reshape(b, n, c)
 
 
 # ---------------------------------------------------------------------------
@@ -472,7 +474,19 @@ def transformer_block(params, x, output_size, num_heads=4,
 
 
 def transformer_stack(params_list, x, output_size, num_heads=4,
-                      window_size=(5, 9), focal_level=2, frame_valid=None):
+                      window_size=(5, 9), focal_level=2, frame_valid=None,
+                      remat=False):
+    blk = transformer_block
+    if remat:
+        # training: recompute each block's internals in the backward pass
+        # instead of saving per-block attention/F3N residuals
+        blk = jax.checkpoint(
+            lambda p, z: transformer_block(p, z, output_size, num_heads,
+                                           window_size, focal_level,
+                                           frame_valid=frame_valid))
+        for p in params_list:
+            x = blk(p, x)
+        return x
     for p in params_list:
         x = transformer_block(p, x, output_size, num_heads, window_size,
                               focal_level, frame_valid=frame_valid)

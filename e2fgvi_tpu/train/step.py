@@ -78,7 +78,7 @@ def make_train_step(tx_g, tx_d, num_local_frames, config_losses,
 
         # -- 1. generator forward with saved pullback
         def g_fwd(pg):
-            pred, flows = generator_forward(pg, masked, lt)
+            pred, flows = generator_forward(pg, masked, lt, remat=True)
             return pred.reshape(b, t, h, w, 3), flows
 
         (pred_imgs, pred_flows), g_vjp = jax.vjp(g_fwd, state.params_g)

@@ -31,6 +31,20 @@ def _inputs(rng, n=1, h=12, w=16, cin=8, g=2, cout=4, off_scale=3.0):
     return x, offset, mask, wgt, b
 
 
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches():
+    """Interpret-mode pallas compiles degrade severely when several pile up
+    in one process on this host — clear the in-process trace/executable
+    caches between tests (the persistent on-disk cache keeps reruns fast).
+    """
+    yield
+    import jax
+    jax.clear_caches()
+
+
 def test_banded_matches_xla_block_gather(rng):
     x, offset, mask, wgt, b = _inputs(rng)
     want = modulated_deform_conv2d(jnp.asarray(x), jnp.asarray(offset),
