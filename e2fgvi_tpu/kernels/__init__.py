@@ -1,21 +1,22 @@
-"""Pallas TPU kernels.
+"""Pallas TPU kernels — only code the model actually runs.
 
 Kernel strategy for this framework:
 
-- The deformable-alignment sampler (the reference's mmcv CUDA kernel) is
-  data-dependent gathering; current Mosaic exposes no dynamic vector gather
-  (verified: `take_along_axis` / int indexing fail to lower; an in-kernel
-  one-hot iota-compare matmul works but costs O(pixels x table) FLOPs).
-  It therefore runs as an XLA 2x2-block gather (ops/dcn.py), which measures
-  row-bound at the hardware gather issue rate.
-- Attention can run on the stock Pallas flash-attention kernel
-  (models/tfocal.py, E2FGVI_ATTENTION=flash) — the binary pooled-key bias
-  maps onto segment masking.
-- f3n.py fuses the F3N token-mixing chain (fold -> overlap-normalize ->
-  unfold) into one VMEM-resident kernel per frame: purely static
-  addressing, removes the HBM round-trip of the 60x108 canvas. It is
-  exact in interpret mode (tests/test_kernels.py) but this box's Mosaic
-  rejects the lowering ("Only 2D gather is supported" for the strided
-  patch slices), so the model keeps the composed-XLA path; revisit when
-  the toolchain gains >2D strided slicing.
+- dcn_band.py: the deformable-alignment sampler (the reference's mmcv
+  CUDA kernel, feat_prop.py:55-58). Mosaic exposes no 2D dynamic vector
+  gather, so the kernel gathers dynamically along lanes (x) and sweeps an
+  8-row-blocked vertical band (y) whose per-(group, tap) row range is
+  delivered by scalar prefetch — only the blocks a tile's measured
+  offsets can touch are swept. Exact under a per-video band contract
+  checked against the in-forward offset bound (data/pipeline.py
+  re-dispatches at the exact band on violation; the XLA block-gather in
+  ops/dcn.py remains the fallback and the differentiable training path).
+- Attention runs on the stock Pallas flash-attention kernel by default on
+  the 16-bit path (models/tfocal.py) with whole-key-axis block tuning;
+  the binary pooled-key bias maps onto segment masking. f32 parity runs
+  keep the XLA softmax (E2FGVI_ATTENTION=xla opts out everywhere).
+- The F3N token-mixing chain needs no kernel: fc1+fold and unfold+fc2
+  each collapse into one convolution with gelu moved to pixel space
+  (models/tfocal.py _fusion_feed_forward_conv) — the fused-Pallas variant
+  this package once carried was superseded by that exact reformulation.
 """
