@@ -107,6 +107,7 @@ def main(argv=None):
     decode_futs = {vi: pool.submit(dataset.__getitem__, vi)
                    for vi in range(min(prefetch, n_videos))}
     metric_futs = []
+    write_futs = []
     for vi in range(n_videos):
         frames, masks, name, orig = decode_futs.pop(vi).result()
         nxt = vi + prefetch
@@ -126,8 +127,9 @@ def main(argv=None):
         metric_futs.append((vi, name, pool.submit(video_metrics, orig,
                                                   comp)))
         if args.save_results:
-            pool.submit(write_frames, os.path.join(result_path, name),
-                        [c.astype(np.uint8) for c in comp])
+            write_futs.append(pool.submit(
+                write_frames, os.path.join(result_path, name),
+                [c.astype(np.uint8) for c in comp]))
 
     for vi, name, fut in metric_futs:
         v_psnr, v_ssim = fut.result()
@@ -137,6 +139,9 @@ def main(argv=None):
                 f"PSNR/SSIM: {np.mean(v_psnr):.4f}/{np.mean(v_ssim):.4f}")
         print(line)
         summary.write(line + "\n")
+    for fut in write_futs:
+        fut.result()   # surface write errors (disk full, bad path) —
+        # shutdown(wait=True) alone swallows worker exceptions
     pool.shutdown(wait=True)
 
     avg_psnr = float(np.mean(all_psnr))

@@ -123,7 +123,13 @@ class PrefetchLoader:
         idxs = list(range(len(self.dataset)))
         if self.shuffle:
             random.Random(hash((self.seed, self.epoch))).shuffle(idxs)
-        # contiguous shard split (DistributedSampler equivalent)
+        # pad to a multiple of num_shards by repeating indices (torch
+        # DistributedSampler semantics): every shard gets the SAME length,
+        # so every process runs the same number of jitted steps — unequal
+        # shard lengths deadlock multi-host training at the stray batch
+        if self.num_shards > 1 and len(idxs) % self.num_shards:
+            pad = self.num_shards - len(idxs) % self.num_shards
+            idxs = idxs + idxs[:pad]
         return idxs[self.shard_index::self.num_shards]
 
     def __iter__(self):

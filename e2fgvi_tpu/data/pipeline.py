@@ -268,25 +268,12 @@ class SlidingWindowInpainter:
 
         # upload the whole (mirror-padded) video ONCE as uint8, padded in T
         # to a bucket length (multiple of the encode chunk) so per-video
-        # lengths within a bucket share every compiled program.
-        # `orig_frames` IS round((frames+1)/2*255) at both CLI call sites —
-        # verified on two sampled frames so the 21MB float round-trip (the
-        # dominant host-prep cost on this class of host) is skipped.
-        def _orig_is_frames():
-            for i in (0, video_length // 2):
-                want = np.round((frames[i] + 1.0) / 2.0 * 255.0
-                                ).astype(np.uint8)
-                if not np.array_equal(orig_frames[i], want):
-                    return False
-            return True
-
-        frames_from_orig = orig_frames.dtype == np.uint8 and \
-            _orig_is_frames()
-        if frames_from_orig:
-            frames_u8 = orig_frames
-        else:
-            frames_u8 = np.round((frames + 1.0) / 2.0 * 255.0
-                                 ).astype(np.uint8)
+        # lengths within a bucket share every compiled program. The uint8
+        # quantization is exact for both CLI call sites (they construct
+        # `frames` FROM uint8 images); computing it unconditionally beats
+        # sampling-based shortcuts that could silently encode the wrong
+        # video for callers whose orig_frames diverge from frames.
+        frames_u8 = np.round((frames + 1.0) / 2.0 * 255.0).astype(np.uint8)
         frames_u8, (h, w) = mirror_pad_hw(frames_u8, *self.pad_mod)
         masks_u8, _ = mirror_pad_hw(masks.astype(np.uint8), *self.pad_mod)
         ch = min(self._ENC_CHUNK, video_length)
@@ -435,13 +422,21 @@ class SlidingWindowInpainter:
 
         (pred_row, outs, bounds), dcn_band = dispatch_with_fallback(
             dcn_band)
-        if adaptive and dcn_band is not None:
-            from e2fgvi_tpu.kernels.dcn_band import band_for_offset_bound
-            off_max = max(float(np.asarray(ob)) for ob in bounds)
-            need = band_for_offset_bound(off_max)
-            if need is None or need > dcn_band:
-                # measured offsets exceed the optimistic band's exactness
-                # contract — re-dispatch at the exact band
+        if adaptive:
+            from e2fgvi_tpu.kernels import dcn_band as bandlib2
+            # a violated run's offsets are inexact, so the offsets measured
+            # on a RE-dispatch can exceed the band chosen from the previous
+            # measurement — loop until the band that produced the output
+            # also satisfies the bound measured ON that output (exact by
+            # the kernel contract). Bounded: each iteration grows the band
+            # bucket, ending at the XLA sampler (always exact).
+            for _ in range(len(bandlib2.BAND_BUCKETS) + 1):
+                if dcn_band is None:
+                    break                       # XLA sampler: exact
+                off_max = max(float(np.asarray(ob)) for ob in bounds)
+                need = bandlib2.band_for_offset_bound(off_max)
+                if need is not None and need <= dcn_band:
+                    break                       # contract satisfied
                 (pred_row, outs, bounds), dcn_band = \
                     dispatch_with_fallback(need)
         mark(f"dispatch(band={dcn_band})")

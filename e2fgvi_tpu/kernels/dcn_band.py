@@ -70,7 +70,7 @@ def band_for_offset_bound(max_abs_off_y: float) -> int | None:
 
 
 def _sampler_kernel(lo_ref, hi_ref, src_ref, py_ref, px_ref, m_ref,
-                    out_ref, *, band, cg, hp, wp, dy_lo, dtype,
+                    out_ref, acc_ref, *, band, cg, hp, wp, dy_lo, dtype,
                     dynamic_bounds):
     py = py_ref[0, 0]
     px = px_ref[0, 0]
@@ -87,56 +87,55 @@ def _sampler_kernel(lo_ref, hi_ref, src_ref, py_ref, px_ref, m_ref,
     x1 = x0 + 1
     m = m_ref[0, 0].astype(dtype)
 
-    # fori_loop (not a python loop) over the band, in aligned 8-row blocks:
-    # a fully unrolled cg*band loop makes Mosaic's kernel stack grow
-    # linearly with the unroll count and blows the 16M scoped-VMEM limit at
-    # band >= 48 (measured), while a per-row dynamic slice start can't be
-    # proven sublane-aligned — so the loop strides 8 rows (start asserted
-    # via pl.multiple_of) and the 8 sub-shifts are static value slices.
-    # Band buckets are all multiples of 8.
-    def blk_step(bi, accs):
-        dif0 = (bi * 8).astype(jnp.float32)
-        wps = []
-        for r in range(8):
-            wy = jax.nn.relu(
-                1.0 - jnp.abs(py - (rows + (dy_lo + r) + dif0)))
-            wps.append(((wy * wx0).astype(gdt), (wy * wx1).astype(gdt)))
-        new = []
-        for c in range(cg):
-            s_blk = src_ref[0, c,
-                            pl.ds(pl.multiple_of(bi * 8, 8), hp + 8),
-                            :].astype(gdt)
-            acc = accs[c]
-            for r in range(8):
-                s = s_blk[r: r + hp]
-                g0 = jnp.take_along_axis(s, x0, axis=1,
-                                         mode="promise_in_bounds")
-                g1 = jnp.take_along_axis(s, x1, axis=1,
-                                         mode="promise_in_bounds")
-                w0, w1 = wps[r]
-                acc = acc + g0 * w0 + g1 * w1
-            new.append(acc)
-        return tuple(new)
-
-    # sweep only the 8-row blocks this (batch*group, tap) tile can touch:
-    # the needed row range follows from the tile's measured vertical
-    # offsets (computed in XLA, delivered as SMEM scalars). Rows outside
-    # contribute exactly zero weight, so skipping them is exact; typical
-    # trained offsets need ~2 of the band's 6-10 blocks. (Interpret mode
-    # sweeps the full band — dynamic trip counts make the Python
-    # interpreter pathologically slow at real shapes.)
+    # STATIC unroll over the band's 8-row blocks with pl.when skipping —
+    # a fori_loop with pl.ds-sliced source measures 1.7x slower (dynamic
+    # VMEM slicing forces copies; static slices index registers directly).
+    # Per-block accumulation stays in registers; blocks += into a VMEM
+    # scratch so skipped blocks cost nothing. The needed block range per
+    # (batch*group, tap) tile follows from the tile's measured vertical
+    # offsets (computed in XLA, delivered as SMEM scalars); rows outside
+    # contribute exactly zero weight, so skipping them is exact. Typical
+    # trained offsets need ~2 of the band's 2-10 blocks.
     if dynamic_bounds:
         i = pl.program_id(0)
         t = pl.program_id(1)
         lo_blk = lo_ref[i, t] // 8
         hi_blk = (hi_ref[i, t] + 7) // 8
     else:
-        lo_blk, hi_blk = 0, band // 8
-    accs = jax.lax.fori_loop(
-        lo_blk, hi_blk, blk_step,
-        tuple(jnp.zeros((hp, wp), gdt) for _ in range(cg)))
+        lo_blk, hi_blk = None, None
+
     for c in range(cg):
-        out_ref[0, 0, c] = accs[c].astype(dtype) * m
+        acc_ref[c] = jnp.zeros((hp, wp), gdt)
+
+    for bi in range(band // 8):
+
+        def blk(bi=bi):
+            base = float(dy_lo + bi * 8)
+            wps = []
+            for r in range(8):
+                wy = jax.nn.relu(1.0 - jnp.abs(py - (rows + (base + r))))
+                wps.append(((wy * wx0).astype(gdt),
+                            (wy * wx1).astype(gdt)))
+            for c in range(cg):
+                acc = acc_ref[c]
+                for r in range(8):
+                    s = src_ref[0, c, bi * 8 + r: bi * 8 + r + hp,
+                                :].astype(gdt)
+                    g0 = jnp.take_along_axis(s, x0, axis=1,
+                                             mode="promise_in_bounds")
+                    g1 = jnp.take_along_axis(s, x1, axis=1,
+                                             mode="promise_in_bounds")
+                    w0, w1 = wps[r]
+                    acc = acc + g0 * w0 + g1 * w1
+                acc_ref[c] = acc
+
+        if dynamic_bounds:
+            pl.when((bi >= lo_blk) & (bi < hi_blk))(blk)
+        else:
+            blk()
+
+    for c in range(cg):
+        out_ref[0, 0, c] = acc_ref[c].astype(dtype) * m
 
 
 @functools.lru_cache(maxsize=None)
@@ -147,12 +146,15 @@ def _build_sampler(ng, k, cg, hp, wp, band, dy_lo, dtype_name, interpret,
     kern = functools.partial(_sampler_kernel, band=band, cg=cg, hp=hp,
                              wp=wp, dy_lo=dy_lo, dtype=dtype,
                              dynamic_bounds=not light)
+    gdt = jnp.float32 if dtype == jnp.bfloat16 else dtype
+    scratch = [pltpu.VMEM((cg, hp, wp), gdt)]
     if light:
         # full-band sweep, no scalar args — for interpret mode and CPU
         # backends (the interpreter is pathologically slow on dynamic trip
         # counts and scalar-prefetch grid specs)
-        def kern_i(src_ref, py_ref, px_ref, m_ref, out_ref):
-            kern(None, None, src_ref, py_ref, px_ref, m_ref, out_ref)
+        def kern_i(src_ref, py_ref, px_ref, m_ref, out_ref, acc_ref):
+            kern(None, None, src_ref, py_ref, px_ref, m_ref, out_ref,
+                 acc_ref)
 
         return pl.pallas_call(
             kern_i,
@@ -171,6 +173,7 @@ def _build_sampler(ng, k, cg, hp, wp, band, dy_lo, dtype_name, interpret,
                                    lambda i, t: (i, t, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((ng, k, cg, hp, wp), dtype),
+            scratch_shapes=scratch,
             interpret=bool(interpret),
         )
 
@@ -193,13 +196,16 @@ def _build_sampler(ng, k, cg, hp, wp, band, dy_lo, dtype_name, interpret,
             ],
             out_specs=pl.BlockSpec((1, 1, cg, hp, wp),
                                    lambda i, t, lo, hi: (i, t, 0, 0, 0)),
+            scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((ng, k, cg, hp, wp), dtype),
+        interpret=bool(interpret),
     )
 
 
 def modulated_deform_conv2d_banded(x, offset, mask, w, b=None, *,
-                                   band=32, padding=1, interpret=False):
+                                   band=32, padding=1, interpret=False,
+                                   light=None):
     """Banded-sampler DCNv2; same contract as ops.dcn.modulated_deform_conv2d
     (stride 1, dilation 1, groups 1), exact under the band contract above.
 
@@ -207,6 +213,9 @@ def modulated_deform_conv2d_banded(x, offset, mask, w, b=None, *,
       x: (N, H, W, Cin); offset: (N, Ho, Wo, G, K, 2) (dy, dx) pixels;
       mask: (N, Ho, Wo, G, K) sigmoided; w: (kh, kw, Cin, Cout) HWIO.
       band: static vertical band width (rows).
+      light: None -> auto (full-sweep variant on CPU/interpret, scalar
+        -prefetch block skipping on TPU); tests pass False+interpret to
+        exercise the production bounds math off-TPU.
     """
     n, h, wdt, cin = x.shape
     kh, kw, wcin, cout = w.shape
@@ -265,7 +274,8 @@ def modulated_deform_conv2d_banded(x, offset, mask, w, b=None, *,
     # the static full-sweep variant also serves CPU backends (e.g. tests
     # under force_tpu_interpret_mode): the interpreter is pathologically
     # slow on dynamic trip counts and scalar-prefetch grids
-    light = bool(interpret) or jax.default_backend() == "cpu"
+    if light is None:
+        light = bool(interpret) or jax.default_backend() == "cpu"
     sampler = _build_sampler(n * g, k, cg, hp, wp, band, dy_lo,
                              jnp.dtype(dtype).name, bool(interpret),
                              light=light)

@@ -5,9 +5,10 @@ second-order recurrent propagation over the local temporal window at 1/4
 resolution, with flow-guided modulated deformable alignment.
 
 TPU-first choices:
-- The recurrence is unrolled at trace time (T is a small static window,
-  5-11 frames), giving XLA one straight-line fused graph per shape instead
-  of a sequential scan with carried state.
+- The recurrence runs as ONE lax.scan per direction (peeled cold-start
+  step): the step body compiles once instead of T-1 times — the unrolled
+  form's straight-line graph cost multi-minute XLA compiles and pinned
+  every step's activations live simultaneously.
 - mmcv's CUDA `modulated_deform_conv2d` is replaced by
   `e2fgvi_tpu.ops.dcn.modulated_deform_conv2d` (bilinear-gather + one GEMM).
 - NHWC layout; flow fields are (N, H, W, 2), (dx, dy)-last.
@@ -22,6 +23,7 @@ sigmoid-gated.
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from e2fgvi_tpu.ops.convs import conv2d, leaky_relu
 from e2fgvi_tpu.ops.dcn import modulated_deform_conv2d
@@ -99,8 +101,7 @@ def _offsets_from_head(out, flow_1, flow_2):
     return offsets, mask
 
 
-def _deform_align(p, x, cond, flow_1, flow_2, dcn_band=None,
-                  off_bounds=None):
+def _deform_align(p, x, cond, flow_1, flow_2, dcn_band=None):
     """SecondOrderDeformableAlignment (feat_prop.py:13-58).
 
     x: (N, H, W, 2*C) = [first-order state, second-order state].
@@ -108,8 +109,8 @@ def _deform_align(p, x, cond, flow_1, flow_2, dcn_band=None,
     dcn_band: static int -> use the banded Pallas sampler (exact while
       the vertical offsets stay within the band contract,
       kernels/dcn_band.py); None -> the XLA block-gather path.
-    off_bounds: optional list — appends this call's max |offset_y| scalar
-      (the measured quantity the band contract is checked against).
+    Returns (aligned, max |offset_y|) — the scalar is the measured
+    quantity the band contract is checked against.
     """
     feat = jnp.concatenate([cond, flow_1, flow_2], axis=-1)
     for i, cp in enumerate(p["conv_offset"]):
@@ -117,13 +118,14 @@ def _deform_align(p, x, cond, flow_1, flow_2, dcn_band=None,
         if i < len(p["conv_offset"]) - 1:
             feat = leaky_relu(feat, 0.1)
     offsets, mask = _offsets_from_head(feat, flow_1, flow_2)
-    if off_bounds is not None:
-        off_bounds.append(jnp.abs(offsets[..., 0]).max())
+    bound = jnp.abs(offsets[..., 0]).max()
     if dcn_band is not None:
         from e2fgvi_tpu.kernels.dcn_band import modulated_deform_conv2d_banded
-        return modulated_deform_conv2d_banded(x, offsets, mask, p["w"],
-                                              p["b"], band=dcn_band)
-    return modulated_deform_conv2d(x, offsets, mask, p["w"], p["b"])
+        out = modulated_deform_conv2d_banded(x, offsets, mask, p["w"],
+                                             p["b"], band=dcn_band)
+    else:
+        out = modulated_deform_conv2d(x, offsets, mask, p["w"], p["b"])
+    return out, bound
 
 
 def bidirectional_propagation(params, x, flows_backward_branch,
@@ -166,97 +168,111 @@ def bidirectional_propagation(params, x, flows_backward_branch,
     if valid_len is not None:
         # backward scan step index of each element's first real frame
         first_real_step = (t - valid_len).astype(jnp.int32)
-    off_bounds = [] if with_offset_bound else None
-    align = _deform_align
-    if remat:
-        # training: rematerialize each alignment in the backward pass —
-        # the saved DCN residuals otherwise dominate the training step's
-        # activation memory (they are per-step, per-tap, per-group)
-        align = jax.checkpoint(
-            lambda p, s, c, f1, f2: _deform_align(p, s, c, f1, f2,
-                                                  dcn_band=dcn_band))
-    spatial = [x[:, i] for i in range(t)]
-    feats = {}
 
+    def run_backbone(p, feat_cat, feat_prop):
+        r = conv2d(feat_cat, p["backbone"][0]["w"], p["backbone"][0]["b"],
+                   padding=1)
+        r = leaky_relu(r, 0.1)
+        r = conv2d(r, p["backbone"][1]["w"], p["backbone"][1]["b"],
+                   padding=1)
+        return feat_prop + r
+
+    # each direction is a peeled step 0 (no alignment, zero hidden state —
+    # the reference's i==0 cold start) followed by ONE lax.scan whose body
+    # is the per-step alignment+backbone: the body is compiled once
+    # instead of t-1 times (the unrolled recurrence dominated the window
+    # program's multi-minute compile), and scan's buffer reuse caps the
+    # recurrence's live memory at one step's working set.
+    feats = {}
+    bounds = []
     for direction in ("backward", "forward"):
         p = params[direction]
         if direction == "backward":
-            frame_order = list(range(t - 1, -1, -1))
+            spatial = jnp.flip(x, axis=1)        # propagation order
             flows = flows_backward_branch
         else:
-            frame_order = list(range(t))
+            spatial = x
             flows = flows_forward_branch
-
+        spatial = spatial.transpose(1, 0, 2, 3, 4)      # (T, B, H, W, C)
         masked = first_real_step is not None and direction == "backward"
-        outs = []
-        feat_prop = jnp.zeros((b, h, w, c), x.dtype)
-        for i, idx in enumerate(frame_order):
-            feat_current = spatial[idx]
-            if i > 0:
-                flow_n1 = flows[:, i - 1]
-                cond_n1 = flow_warp(feat_prop, flow_n1)
 
-                feat_n2 = jnp.zeros_like(feat_prop)
-                flow_n2 = jnp.zeros_like(flow_n1)
-                cond_n2 = jnp.zeros_like(cond_n1)
-                if i > 1:
-                    feat_n2 = outs[-2]
-                    flow_n2 = flows[:, i - 2]
-                    if masked:
-                        # second real step: second-order state must be the
-                        # cold-start zeros, not the preceding pad's output
-                        second = (first_real_step + 1 == i)[:, None, None,
-                                                            None]
-                        feat_n2 = jnp.where(second, 0.0, feat_n2)
-                    flow_n2 = flow_n1 + flow_warp(flow_n2, flow_n1)
-                    if masked:
-                        flow_n2 = jnp.where(second, 0.0, flow_n2)
-                    cond_n2 = flow_warp(feat_n2, flow_n2)
+        zeros = jnp.zeros((b, h, w, c), x.dtype)
+        cat0 = [spatial[0], zeros]
+        if direction == "forward":
+            cat0.insert(1, feats["backward"][0])
+        out0 = run_backbone(p, jnp.concatenate(cat0, axis=-1), zeros)
 
-                cond = jnp.concatenate([cond_n1, feat_current, cond_n2],
-                                       axis=-1)
-                stacked = jnp.concatenate([feat_prop, feat_n2], axis=-1)
-                if remat:
-                    feat_prop = align(p["deform"], stacked, cond,
-                                      flow_n1, flow_n2)
-                else:
-                    feat_prop = _deform_align(p["deform"], stacked, cond,
-                                              flow_n1, flow_n2,
-                                              dcn_band=dcn_band,
-                                              off_bounds=off_bounds)
-                if masked:
-                    # first real step: discard the alignment of pad state
-                    # (the reference skips alignment entirely at i==0)
-                    first = (first_real_step == i)[:, None, None, None]
-                    feat_prop = jnp.where(first, 0.0, feat_prop)
+        if t == 1:
+            feats[direction] = out0[None]
+            continue
 
-            if direction == "backward":
-                feat = jnp.concatenate([feat_current, feat_prop], axis=-1)
-            else:
-                feat = jnp.concatenate(
-                    [feat_current, feats["backward"][idx], feat_prop],
-                    axis=-1)
-            r = conv2d(feat, p["backbone"][0]["w"], p["backbone"][0]["b"],
-                       padding=1)
-            r = leaky_relu(r, 0.1)
-            r = conv2d(r, p["backbone"][1]["w"], p["backbone"][1]["b"],
-                       padding=1)
-            feat_prop = feat_prop + r
-            outs.append(feat_prop)
+        steps = np.arange(1, t)
+        xs = {
+            "i": jnp.asarray(steps, jnp.int32),
+            "cur": spatial[1:],
+            "f1": flows[:, steps - 1].transpose(1, 0, 2, 3, 4),
+            "f2": flows[:, np.maximum(steps - 2, 0)].transpose(
+                1, 0, 2, 3, 4),
+        }
+        if direction == "forward":
+            xs["bwd"] = feats["backward"][1:]
 
+        def step(carry, xi, p=p, masked=masked, fwd=direction == "forward"):
+            prev1, prev2 = carry
+            i = xi["i"]
+            flow_n1 = xi["f1"]
+            cond_n1 = flow_warp(prev1, flow_n1)
+            # second-order state: zeros at the first recurrence step and —
+            # for padded windows — at each element's second real step
+            # (the reference's cold start, feat_prop.py:90-141)
+            use2 = (i > 1)
+            if masked:
+                use2 = use2 & (first_real_step + 1 != i)
+            use2 = jnp.where(use2, 1.0, 0.0)
+            if use2.ndim == 0:
+                use2 = jnp.broadcast_to(use2, (b,))
+            use2 = use2[:, None, None, None].astype(x.dtype)
+            feat_n2 = prev2 * use2
+            flow_n2 = (flow_n1 + flow_warp(xi["f2"], flow_n1)) * use2
+            cond_n2 = flow_warp(feat_n2, flow_n2)
+
+            cond = jnp.concatenate([cond_n1, xi["cur"], cond_n2], axis=-1)
+            stacked = jnp.concatenate([prev1, feat_n2], axis=-1)
+            aligned, ob = _deform_align(p["deform"], stacked, cond,
+                                        flow_n1, flow_n2,
+                                        dcn_band=dcn_band)
+            if masked:
+                # first real step: discard the alignment of pad state
+                # (the reference skips alignment entirely at i==0)
+                first = (first_real_step == i)[:, None, None, None]
+                aligned = jnp.where(first, 0.0, aligned)
+            cat = [xi["cur"], aligned]
+            if fwd:
+                cat.insert(1, xi["bwd"])
+            out = run_backbone(p, jnp.concatenate(cat, axis=-1), aligned)
+            return (out, prev1), (out, ob)
+
+        if remat:
+            # training: rematerialize each step in the backward pass — the
+            # saved DCN residuals otherwise dominate the training step's
+            # activation memory (per-step, per-tap, per-group)
+            step = jax.checkpoint(step)
+        (_, _), (outs, obs) = jax.lax.scan(step, (out0, zeros), xs)
+        outs = jnp.concatenate([out0[None], outs], axis=0)
         if direction == "backward":
-            outs = outs[::-1]
+            # back to frame order (the forward pass and the fusion below
+            # consume backward outputs per frame index)
+            outs = jnp.flip(outs, axis=0)
         feats[direction] = outs
+        bounds.append(jnp.max(obs))
 
-    fused = []
-    for i in range(t):
-        cat = jnp.concatenate([feats["backward"][i], feats["forward"][i]],
-                              axis=-1)
-        fused.append(conv2d(cat, params["fusion"]["w"],
-                            params["fusion"]["b"], padding=0))
-    out = jnp.stack(fused, axis=1) + x
+    fb = feats["backward"]
+    ff = feats["forward"]
+    cat = jnp.concatenate([fb, ff], axis=-1).reshape(t * b, h, w, 2 * c)
+    fused = conv2d(cat, params["fusion"]["w"], params["fusion"]["b"],
+                   padding=0)
+    out = fused.reshape(t, b, h, w, c).transpose(1, 0, 2, 3, 4) + x
     if with_offset_bound:
-        bound = (jnp.max(jnp.stack(off_bounds)) if off_bounds
-                 else jnp.float32(0))
+        bound = (jnp.max(jnp.stack(bounds)) if bounds else jnp.float32(0))
         return out, bound
     return out

@@ -144,6 +144,80 @@ def _pooled_key_mask(nwh, nww, kh, kw, ph, pw):
     return np.where(valid, 0.0, -100.0).astype(np.float32)
 
 
+@lru_cache(maxsize=32)
+def _rolled_rects(wh, ww, eh, ew):
+    """The 4-rolled out-of-own-window key multiset (reference
+    valid_ind_rolled, tfocal_transformer.py:167-180) as per-roll
+    RECTANGLES in window coordinates: each roll's valid positions form an
+    L = one full-width row band + one partial column band. Returns
+    ((sy, sx, y0, y1, x0, x1), ...) — the same key multiset as
+    _rolled_valid_idx up to order (softmax is permutation-invariant).
+    Rectangles turn key assembly into static slices of the wrap-padded
+    feature map — no gather, no roll."""
+    rects = []
+    for (sy, sx), (fy, fx) in zip(
+            ((-eh, -ew), (-eh, ew), (eh, -ew), (eh, ew)),
+            ((1, 1), (1, 0), (0, 1), (0, 0))):
+        if fy:      # masked-out block occupies rows [0, wh-eh)
+            rows_full, rows_part = (wh - eh, wh), (0, wh - eh)
+        else:       # masked-out block occupies rows [eh, wh)
+            rows_full, rows_part = (0, eh), (eh, wh)
+        cols_part = (ww - ew, ww) if fx else (0, ew)
+        rects.append((sy, sx, rows_full[0], rows_full[1], 0, ww))
+        rects.append((sy, sx, rows_part[0], rows_part[1],
+                      cols_part[0], cols_part[1]))
+    return tuple(r for r in rects if r[3] > r[2] and r[5] > r[4])
+
+
+@lru_cache(maxsize=32)
+def _key_gather_idx(h, w, wh, ww, eh, ew, pooled_geom):
+    """Static per-window key source indices into the flattened combined
+    source axis [fine tokens (h*w) | pooled tokens (nwh*nww) | one zero
+    slot].
+
+    Replaces the reference's roll/partition/concat key assembly
+    (tfocal_transformer.py:234-316) with ONE gather: per window the slots
+    are [own (wh*ww) | 4-rolled out-of-window (from _rolled_valid_idx) |
+    unfolded pooled (pkh*pkw, out-of-grid -> the zero slot)]. torch.roll's
+    wrap-around at image borders is reproduced by the mod indexing.
+
+    Returns (idx, n_fine): idx int32 (nwin, S); the first n_fine slots of
+    S index fine tokens, the rest pooled.
+    """
+    nwy, nwx = h // wh, w // ww
+    vidx = _rolled_valid_idx(wh, ww, eh, ew) if (eh or ew) else None
+    shifts = ((-eh, -ew), (-eh, ew), (eh, -ew), (eh, ew))
+    rows = []
+    for wy in range(nwy):
+        for wx in range(nwx):
+            slots = [(wy * wh + ry) * w + (wx * ww + rx)
+                     for ry in range(wh) for rx in range(ww)]
+            if vidx is not None:
+                for v in vidx:
+                    r, rem = divmod(int(v), wh * ww)
+                    ry, rx = divmod(rem, ww)
+                    sy, sx = shifts[r]
+                    slots.append(((wy * wh + ry - sy) % h) * w
+                                 + (wx * ww + rx - sx) % w)
+            rows.append(slots)
+    n_fine = len(rows[0])
+    if pooled_geom is not None:
+        nwh, nww, pkh, pkw, ph, pw = pooled_geom
+        assert (nwy, nwx) == (nwh, nww), (nwy, nwx, nwh, nww)
+        base = h * w
+        zero_slot = base + nwh * nww
+        for wy in range(nwy):
+            for wx in range(nwx):
+                slots = rows[wy * nwx + wx]
+                for ay in range(pkh):
+                    for ax in range(pkw):
+                        py, px = wy + ay - ph, wx + ax - pw
+                        ok = 0 <= py < nwh and 0 <= px < nww
+                        slots.append(base + py * nww + px if ok
+                                     else zero_slot)
+    return np.asarray(rows, np.int32), n_fine
+
+
 # ---------------------------------------------------------------------------
 # Focal window attention
 # ---------------------------------------------------------------------------
@@ -172,82 +246,91 @@ def window_attention(params, x, pooled, num_heads, window_size, expand_size,
     scale = hd ** -0.5
     nwin = (h // wh) * (w // ww)
 
-    qkv = linear(x, params["qkv"]["w"], params["qkv"]["b"])
-    q, k, v = jnp.split(qkv, 3, axis=-1)
+    nwy, nwx = h // wh, w // ww
 
-    def heads_of(wins):
-        # (B*nWin, T, n, C) -> (B*nWin, heads, T*n, hd)
-        bw, tt, nn, _ = wins.shape
-        y = wins.reshape(bw, tt * nn, num_heads, hd)
-        return y.transpose(0, 2, 1, 3)
+    # qkv in per-head layout directly — the head split rides the GEMM
+    # epilogue instead of a separate relayout of the big tensor
+    wq = params["qkv"]["w"].reshape(c, 3, num_heads, hd)
+    bq = params["qkv"]["b"].reshape(3, num_heads, hd)
+    qkv = jnp.einsum("btyxc,cghd->gbhtyxd", x, wq.astype(x.dtype))
+    qkv = qkv + bq[:, None, :, None, None, None, :].astype(qkv.dtype)
+    q, k, v = qkv[0], qkv[1], qkv[2]       # (B, heads, T, H, W, hd)
 
-    def part(z):
-        return _window_partition(z, wh, ww).reshape(b * nwin, t, wh * ww, c)
-
-    q_win = heads_of(part(q)) * scale
-    k_win = heads_of(part(k))
-    v_win = heads_of(part(v))
-
-    # key-axis segments (own / rolled / pooled) are each t-major; the
-    # frame-pad mask expands per segment by its keys-per-frame count
-    seg_keys_per_frame = [wh * ww]
-
-    # --- rolled (expanded) keys -------------------------------------------
-    if eh > 0 or ew > 0:
-        vidx = jnp.asarray(_rolled_valid_idx(wh, ww, eh, ew))
-
-        def rolled(z):
-            outs = []
-            for sy, sx in ((-eh, -ew), (-eh, ew), (eh, -ew), (eh, ew)):
-                zr = jnp.roll(z, shift=(sy, sx), axis=(2, 3))
-                outs.append(part(zr))
-            r = jnp.concatenate(outs, axis=2)        # (B*nWin, T, 4*wh*ww, C)
-            r = jnp.take(r, vidx, axis=2)            # keep out-of-window only
-            return heads_of(r)
-
-        k_all = jnp.concatenate([k_win, rolled(k)], axis=2)
-        v_all = jnp.concatenate([v_win, rolled(v)], axis=2)
-        seg_keys_per_frame.append(int(vidx.shape[0]))
-    else:
-        k_all, v_all = k_win, v_win
-
-    # --- pooled coarse keys (focal level 1) --------------------------------
+    # pooled coarse tokens (focal level 1): tiny qkv, padded to the
+    # unfold footprint so per-window pooled keys are static slices too
+    kp = vp = None
     if pooled is not None:
         nwh, nww = pooled.shape[1], pooled.shape[2]
         pk = (2 * (wh // 2) + 1, 2 * (ww // 2) + 1)
         pp = (pk[0] // 2, pk[1] // 2)
-        pq = linear(pooled, params["qkv"]["w"], params["qkv"]["b"])
-        _, kp, vp = jnp.split(pq, 3, axis=-1)        # (B, nWh, nWw, T, C)
+        pq = jnp.einsum("byxtc,cghd->gbhtyxd", pooled, wq.astype(x.dtype))
+        pq = pq + bq[:, None, :, None, None, None, :].astype(pq.dtype)
+        pad_p = ((0, 0), (0, 0), (0, 0), (pp[0], pp[0]), (pp[1], pp[1]),
+                 (0, 0))
+        kp = jnp.pad(pq[1], pad_p)         # (B, heads, T, nWh+2p, nWw+2p, d)
+        vp = jnp.pad(pq[2], pad_p)
 
-        def pooled_keys(z):
-            z = z.transpose(0, 3, 1, 2, 4).reshape(b * t, nwh, nww, c)
-            u = unfold(z, pk, 1, pp)                 # (B*T, nWh, nWw, kh,kw,C)
-            u = u.reshape(b, t, nwh * nww, pk[0] * pk[1], c)
-            u = u.transpose(0, 2, 1, 3, 4).reshape(b * nwh * nww, t,
-                                                   pk[0] * pk[1], c)
-            return heads_of(u)                       # (B*nWin, heads, T*kk, hd)
+    # key assembly = static slice-concat of the wrap-padded per-head maps:
+    # own window + the rolled key multiset as rectangles (_rolled_rects;
+    # torch.roll wrap-around = the "wrap" padding) + the pooled unfold
+    # window (zero padding, masked by the -100 bias below). The stack
+    # lands directly in the attention layout — no gather, no big
+    # relayout. Key order per frame: [own | rolled rects | pooled].
+    rects = _rolled_rects(wh, ww, eh, ew) if (eh or ew) else ()
+    if rects:
+        pad_f = ((0, 0), (0, 0), (0, 0), (eh, eh), (ew, ew), (0, 0))
+        kf = jnp.pad(k, pad_f, mode="wrap")
+        vf = jnp.pad(v, pad_f, mode="wrap")
+    else:
+        kf, vf = k, v
 
-        k_all = jnp.concatenate([k_all, pooled_keys(kp)], axis=2)
-        v_all = jnp.concatenate([v_all, pooled_keys(vp)], axis=2)
-        pm = jnp.asarray(_pooled_key_mask(nwh, nww, pk[0], pk[1], *pp))
-        # key ordering is (t, kk) t-major; bias is per (window, kk)
-        pmt = jnp.tile(pm[:, None, :], (1, t, 1)).reshape(nwh * nww, -1)
-        seg_keys_per_frame.append(pk[0] * pk[1])
+    def win_keys(z, zp, wy, wx):
+        parts = []
+        oy = wy * wh + (eh if rects else 0)
+        ox = wx * ww + (ew if rects else 0)
+        parts.append(z[:, :, :, oy: oy + wh, ox: ox + ww, :])
+        for (sy, sx, y0, y1, x0, x1) in rects:
+            ry = wy * wh + y0 - sy + eh
+            rx = wx * ww + x0 - sx + ew
+            parts.append(z[:, :, :, ry: ry + (y1 - y0),
+                           rx: rx + (x1 - x0), :])
+        if zp is not None:
+            parts.append(zp[:, :, :, wy: wy + pk[0], wx: wx + pk[1], :])
+        flat = [p.reshape(b, num_heads, t, -1, hd) for p in parts]
+        return jnp.concatenate(flat, axis=3)   # (B, heads, T, S, hd)
 
-    # assemble the additive bias over the full key axis, per (B*nWin, Nk):
-    # the pooled-boundary -100 (reference tfocal_transformer.py:300-316)
-    # plus a -1e9 on every key of a padding frame
-    fine_len = sum(seg_keys_per_frame[:2 if (eh or ew) else 1]) * t
-    nk = k_all.shape[2]
-    bias_win = jnp.zeros((nwin, nk), jnp.float32)
+    def assemble(z, zp):
+        wins = [win_keys(z, zp, wy, wx)
+                for wy in range(nwy) for wx in range(nwx)]
+        g = jnp.stack(wins, axis=1)            # (B, nWin, heads, T, S, hd)
+        return g.reshape(b * nwin, num_heads, -1, hd)
+
+    k_all = assemble(kf, kp)
+    v_all = assemble(vf, vp)
+    s_keys = k_all.shape[2] // t
+    n_fine = s_keys - (pk[0] * pk[1] if pooled is not None else 0)
+
+    q_wins = [q[:, :, :, wy * wh: (wy + 1) * wh,
+                wx * ww: (wx + 1) * ww, :].reshape(b, num_heads, t,
+                                                  wh * ww, hd)
+              for wy in range(nwy) for wx in range(nwx)]
+    q_win = jnp.stack(q_wins, axis=1).reshape(b * nwin, num_heads,
+                                              t * wh * ww, hd) * scale
+
+    # additive bias over the key axis, per (B*nWin, Nk): the pooled
+    # -boundary -100 (reference tfocal_transformer.py:300-316) plus a -1e9
+    # on every key of a padding frame. Key order: t-major frames, within a
+    # frame [fine (n_fine) | pooled (S - n_fine)].
+    nk = t * s_keys
+    bias_win = jnp.zeros((nwin, s_keys), jnp.float32)
     if pooled is not None:
-        bias_win = bias_win.at[:, fine_len:].set(pmt)
+        pm = jnp.asarray(_pooled_key_mask(nwh, nww, pk[0], pk[1], *pp))
+        bias_win = bias_win.at[:, n_fine:].set(pm)
+    bias_win = jnp.tile(bias_win[:, None, :], (1, t, 1)).reshape(nwin, nk)
     bias_full = jnp.tile(bias_win, (b, 1))
     if frame_valid is not None:
-        segs = [jnp.repeat(~frame_valid, kpf, axis=1)
-                for kpf in seg_keys_per_frame]
-        key_pad = jnp.concatenate(segs, axis=1)          # (B, Nk)
-        key_pad = jnp.repeat(key_pad, nwin, axis=0)      # (B*nWin, Nk)
+        key_pad = jnp.repeat(~frame_valid, s_keys, axis=1)   # (B, Nk)
+        key_pad = jnp.repeat(key_pad, nwin, axis=0)          # (B*nWin, Nk)
         bias_full = jnp.where(key_pad, -1e9, bias_full)
 
     out = _attention_core(q_win, k_all, v_all, bias_full, b)
@@ -385,21 +468,43 @@ def _fusion_feed_forward_conv(params, x, t, output_size):
     b, n, c = x.shape
     bt = b * (n // (lh * lw))
     cc = params["fc1"]["w"].shape[-1] // (kh * kw)
-    # output cropping can't express pad_hi < 0 (never hits for the t2t
-    # arithmetic at tile-able sizes)
-    pad_hi_h = hh - sh * (lh - 1) - 1 - ph + kh - 1
-    pad_hi_w = ww - sw * (lw - 1) - 1 - pw + kw - 1
-    assert pad_hi_h >= 0 and pad_hi_w >= 0, (hh, ww, lh, lw)
 
     xt = x.reshape(bt, lh, lw, c)
     w1 = params["fc1"]["w"].reshape(c, kh, kw, cc)
     # conv requires matching dtypes; mixed setups (bf16 params, f32
     # activations and vice versa) follow the activation dtype like linear()
     k1 = jnp.flip(w1, axis=(1, 2)).transpose(1, 2, 0, 3).astype(xt.dtype)
-    z = jax.lax.conv_general_dilated(
-        xt, k1, window_strides=(1, 1),
-        padding=((ph, pad_hi_h), (pw, pad_hi_w)), lhs_dilation=(sh, sw),
+    # transposed conv as subpixel conv: an lhs-dilated conv makes XLA
+    # correlate the full kh*kw kernel against a mostly-zero dilated grid
+    # (~(sh*sw)x wasted MXU work, measured ~6ms/block at the bench
+    # geometry); instead compute the sh*sw output phases as channels of
+    # ONE dense token-grid conv and depth-to-space. Output pixel
+    # y = sh*ty + p draws from tokens ty+dy at kernel tap
+    # ky = sh*dy - p + ph (in range or zero) — same arithmetic, no zeros.
+    dlo = -(-ph // sh)
+    dhi = (sh - 1 - ph + kh - 1) // sh
+    dxlo = -(-pw // sw)
+    dxhi = (sw - 1 - pw + kw - 1) // sw
+    ksub = jnp.zeros((dlo + dhi + 1, dxlo + dxhi + 1, c, sh, sw, cc),
+                     k1.dtype)
+    for p in range(sh):
+        for q in range(sw):
+            for dy in range(-dlo, dhi + 1):
+                ky = sh * dy - p + ph
+                if not 0 <= ky < kh:
+                    continue
+                for dx in range(-dxlo, dxhi + 1):
+                    kx = sw * dx - q + pw
+                    if not 0 <= kx < kw:
+                        continue
+                    ksub = ksub.at[dy + dlo, dx + dxlo, :, p, q, :].set(
+                        k1[ky, kx])
+    ksub = ksub.reshape(dlo + dhi + 1, dxlo + dxhi + 1, c, sh * sw * cc)
+    zs = jax.lax.conv_general_dilated(
+        xt, ksub, window_strides=(1, 1), padding=((dlo, dhi), (dxlo, dxhi)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    zs = zs.reshape(bt, lh, lw, sh, sw, cc).transpose(0, 1, 3, 2, 4, 5)
+    z = zs.reshape(bt, lh * sh, lw * sw, cc)[:, :hh, :ww]
     bpatch = jnp.broadcast_to(
         params["fc1"]["b"].reshape(1, 1, 1, kh, kw, cc),
         (1, lh, lw, kh, kw, cc)).astype(z.dtype)
@@ -445,11 +550,15 @@ def _pool_level(params, x, window_size):
             x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (pl, wp - w - pl),
                             (0, 0)))
     nwh, nww = hp // wh, wp // ww
+    # weighted window reduction in the native layout (no (wh*ww)-minor
+    # relayout of the full tensor): pool w is (wh*ww, 1) row-major over
+    # (wh, ww) — contract it against the blocked spatial axes directly
     xw = x.reshape(b, t, nwh, wh, nww, ww, c)
-    xw = xw.transpose(0, 2, 4, 1, 6, 3, 5).reshape(b, nwh, nww, t, c,
-                                                   wh * ww)
-    pooled = linear(xw, params["pool"]["w"], params["pool"]["b"])
-    return pooled[..., 0]                              # (B, nWh, nWw, T, C)
+    pw = params["pool"]["w"].reshape(wh, ww).astype(jnp.float32)
+    pooled = jnp.einsum("btiyjxc,yx->btijc", xw.astype(jnp.float32), pw)
+    pooled = (pooled + params["pool"]["b"].astype(jnp.float32)).astype(
+        x.dtype)
+    return pooled.transpose(0, 2, 3, 1, 4)             # (B, nWh, nWw, T, C)
 
 
 def transformer_block(params, x, output_size, num_heads=4,
@@ -476,20 +585,23 @@ def transformer_block(params, x, output_size, num_heads=4,
 def transformer_stack(params_list, x, output_size, num_heads=4,
                       window_size=(5, 9), focal_level=2, frame_valid=None,
                       remat=False):
-    blk = transformer_block
+    """Sequential block stack as ONE lax.scan over stacked block params:
+    the block body is traced/compiled once instead of DEPTHS times (the
+    stack dominated the window program's multi-minute XLA compile), and
+    buffer reuse across iterations caps the stack's live-memory footprint
+    at one block's working set."""
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
+
+    def body(z, p):
+        out = transformer_block(p, z, output_size, num_heads, window_size,
+                                focal_level, frame_valid=frame_valid)
+        return out, None
+
     if remat:
         # training: recompute each block's internals in the backward pass
         # instead of saving per-block attention/F3N residuals
-        blk = jax.checkpoint(
-            lambda p, z: transformer_block(p, z, output_size, num_heads,
-                                           window_size, focal_level,
-                                           frame_valid=frame_valid))
-        for p in params_list:
-            x = blk(p, x)
-        return x
-    for p in params_list:
-        x = transformer_block(p, x, output_size, num_heads, window_size,
-                              focal_level, frame_valid=frame_valid)
+        body = jax.checkpoint(body)
+    x, _ = jax.lax.scan(body, x, stacked)
     return x
 
 

@@ -178,22 +178,26 @@ def modulated_deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray,
     # group-major tables: (N*G, H, W, Cg)
     xg = x.reshape(n, h, wdt, g, cg).transpose(0, 3, 1, 2, 4)
     xg = xg.reshape(n * g, h, wdt, cg)
-    # positions per (n, g): (N*G, P*K)
-    pyg = py.transpose(0, 3, 1, 2, 4).reshape(n * g, ho * wo * k)
-    pxg = px.transpose(0, 3, 1, 2, 4).reshape(n * g, ho * wo * k)
+    # positions per (n, g): (N*G, K*P), tap-major / PIXEL-MINOR — every
+    # later reshape then keeps the large pixel axis minor. The former
+    # pixel-major order put the K=9 tap axis minor after the einsum-side
+    # reshape, and XLA tiled the fused gather buffer at 10.7x padding
+    # (3.56G per copy inside the propagation scan — an HBM OOM)
+    pyg = py.transpose(0, 3, 4, 1, 2).reshape(n * g, k * ho * wo)
+    pxg = px.transpose(0, 3, 4, 1, 2).reshape(n * g, k * ho * wo)
 
     # R-minor sampling keeps every materialized tensor's minor dim large
     # (the sample axis), avoiding the catastrophic (..., 2, 2, Cg) tiling
     # pads; the contraction reads the sampler's native layout directly
-    sampled = bilinear_block_sample_rminor(xg, pyg, pxg)     # (N*G, Cg, PK)
-    m = mask.astype(sampled.dtype).transpose(0, 3, 1, 2, 4).reshape(
-        n * g, 1, ho * wo * k)
+    sampled = bilinear_block_sample_rminor(xg, pyg, pxg)     # (N*G, Cg, KP)
+    m = mask.astype(sampled.dtype).transpose(0, 3, 4, 1, 2).reshape(
+        n * g, 1, k * ho * wo)
     sampled = sampled * m
 
-    sampled = sampled.reshape(n, g, cg, ho * wo, k).astype(dtype)
+    sampled = sampled.reshape(n, g, cg, k, ho * wo).astype(dtype)
     # w cin index is (g, cg) g-major under the group split above
     w2 = w.reshape(k, g, cg, cout).transpose(1, 0, 2, 3)
-    out = jnp.einsum("ngcpk,gkco->npo", sampled, w2,
+    out = jnp.einsum("ngckp,gkco->npo", sampled, w2,
                      preferred_element_type=jnp.float32)
     if b is not None:
         out = out + b

@@ -96,3 +96,31 @@ def test_band_for_flow_bound():
     assert band_for_flow_bound(5.0) == 48
     assert band_for_flow_bound(11.0) == 64
     assert band_for_flow_bound(60.0) is None
+
+
+def test_scalar_prefetch_bounds_variant(rng):
+    """The production (light=False) scalar-prefetch variant: the per-tile
+    row_lo/row_hi block-skipping bounds must be exact — a off-by-one in
+    the bounds math drops a contributing source block and diverges from
+    the XLA reference. Offsets are crafted per batch/group so different
+    tiles need different block ranges, including corner samples exactly
+    on block boundaries."""
+    x, offset, mask, wgt, b = _inputs(rng, n=2, off_scale=0.0)
+    # tile-varying vertical offsets WITHIN the band-16 contract
+    # (py - row in [-8, 6] incl. the +-1 tap): group 0 small, group 1
+    # pushed toward the band edges so different tiles need different
+    # block ranges; include exact integers (floor==py)
+    offset[..., 0] += rng.uniform(-1.0, 1.0, offset.shape[:-1])
+    offset[0, :, :, 1, :, 0] += 3.5       # needs the upper block
+    offset[1, :, :, 0, :, 0] -= 5.0       # needs the lower block
+    offset[0, 2, 3, 0, 4, 0] = 3.0        # exact integer sample
+    offset[..., 1] += rng.uniform(-3, 3, offset.shape[:-1])
+    want = modulated_deform_conv2d(jnp.asarray(x), jnp.asarray(offset),
+                                   jnp.asarray(mask), jnp.asarray(wgt),
+                                   jnp.asarray(b))
+    got = modulated_deform_conv2d_banded(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+        jnp.asarray(wgt), jnp.asarray(b), band=16, interpret=True,
+        light=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
