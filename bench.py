@@ -37,20 +37,20 @@ def _load_tennis(size):
     from e2fgvi_tpu.data import readers
     frames_pil = readers.read_frames_from_dir(frames_dir, size)
     masks = readers.read_masks_from_dir(masks_dir, size)
-    frames = readers.frames_to_array(frames_pil)
     orig = np.stack([np.asarray(f, np.uint8) for f in frames_pil])
     binary = np.stack(masks)[..., None]
-    return frames, binary.astype(np.float32), orig, binary
+    # pass the uint8 frames straight through (pipeline fast path) — exact,
+    # since the float frames would be constructed from these very bytes
+    return orig, binary.astype(np.float32), orig, binary
 
 
 def _synthetic(size, n):
     rng = np.random.default_rng(0)
     w, h = size
-    frames = rng.uniform(-1, 1, (n, h, w, 3)).astype(np.float32)
+    orig = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
     masks = np.zeros((n, h, w, 1), np.uint8)
     masks[:, h // 4: h // 2, w // 4: w // 2] = 1
-    orig = ((frames + 1) * 127.5).astype(np.uint8)
-    return frames, masks.astype(np.float32), orig, masks
+    return orig, masks.astype(np.float32), orig, masks
 
 
 def main():
@@ -113,6 +113,7 @@ def main():
     m = getattr(runner, "last_marks", {})
     host_s = sum(v for k, v in m.items()
                  if k.split("(")[0] in ("host_prep", "mask_idx", "scatter"))
+    bs = getattr(runner, "last_band_stats", {})
     print(json.dumps({
         "metric": "frames_per_sec_432x240",
         "value": round(fps, 3),
@@ -120,8 +121,27 @@ def main():
         "vs_baseline": round(vs, 3),
         "host_s_per_video": round(host_s, 3),
         "device_link_s_per_video": round(max(dt - host_s, 0.0), 3),
-    }))
+        "dcn_band": bs.get("band"),
+        "band_redispatches": bs.get("redispatches"),
+    }), flush=True)
+    return True
 
 
 if __name__ == "__main__":
-    main()
+    # the driver parses exactly one JSON line from stdout and gets one
+    # shot per round — be defensive: retry a failed run once (transient
+    # tunnel/compile hiccups), and on terminal failure still emit a JSON
+    # line recording the error instead of silence
+    import traceback
+    for attempt in range(2):
+        try:
+            if main():
+                break
+        except Exception:
+            traceback.print_exc()
+            if attempt == 1:
+                print(json.dumps({
+                    "metric": "frames_per_sec_432x240", "value": 0.0,
+                    "unit": "frames/s", "vs_baseline": 0.0,
+                    "error": traceback.format_exc(limit=1).strip()[-200:],
+                }), flush=True)

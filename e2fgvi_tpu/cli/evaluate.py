@@ -114,7 +114,9 @@ def main(argv=None):
         if nxt < n_videos:
             decode_futs[nxt] = pool.submit(dataset.__getitem__, nxt)
         binary = masks.astype(np.uint8)
-        comp = runner(frames, masks, orig, binary)
+        # orig is the uint8 source of `frames` (datasets.TestDataset) —
+        # hand it to the pipeline's uint8 fast path
+        comp = runner(orig, masks, orig, binary)
         total_frames += len(comp)
 
         if use_vfid:

@@ -43,7 +43,39 @@ def build_parser():
     p.add_argument("--out", type=str, default="results")
     p.add_argument("--random_weights", action="store_true",
                    help="smoke-test with random init instead of a ckpt")
+    p.add_argument("--no_show", action="store_true",
+                   help="skip the side-by-side result viewer")
     return p
+
+
+def show_results(frames_pil, comp):
+    """Side-by-side original/result animation (reference test.py:198-220).
+
+    No-op in headless environments (Agg backend's plt.show does nothing)."""
+    try:
+        import matplotlib.pyplot as plt
+        from matplotlib import animation
+    except ImportError:
+        return
+    fig = plt.figure("Let us enjoy the result")
+    ax1 = fig.add_subplot(1, 2, 1)
+    ax1.axis("off")
+    ax1.set_title("Original Video")
+    ax2 = fig.add_subplot(1, 2, 2)
+    ax2.axis("off")
+    ax2.set_title("Our Result")
+    imdata1 = ax1.imshow(frames_pil[0])
+    imdata2 = ax2.imshow(np.asarray(comp[0], np.uint8))
+
+    def update(idx):
+        imdata1.set_data(frames_pil[idx])
+        imdata2.set_data(np.asarray(comp[idx], np.uint8))
+
+    fig.tight_layout()
+    anim = animation.FuncAnimation(fig, update, frames=len(frames_pil),
+                                   interval=50)
+    plt.show()
+    return anim
 
 
 def load_params(args):
@@ -81,8 +113,10 @@ def main(argv=None):
     if size is None:
         size = frames_pil[0].size
     video_length = len(frames_pil)
-    frames = readers.frames_to_array(frames_pil)
+    # uint8 straight through — the pipeline's fast path; the float frames
+    # it would otherwise re-derive come from these exact bytes
     orig = np.stack([np.asarray(f, np.uint8) for f in frames_pil])
+    frames = orig
 
     print(f"Loading masks from {args.mask} ...")
     mask_list = readers.read_masks_from_dir(args.mask, size)
@@ -112,6 +146,8 @@ def main(argv=None):
                            [np.asarray(c, np.uint8) for c in comp],
                            fps=args.savefps)
     print(f"Saved: {out_path}")
+    if not args.no_show:
+        show_results(frames_pil, comp)
     return out_path
 
 

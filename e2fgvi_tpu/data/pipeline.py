@@ -124,14 +124,20 @@ class SlidingWindowInpainter:
         self.pad_mod = pad_mod
         self.dtype = dtype
 
-        def _encode_chunk(params, fw, mw):
-            """One chunk of frames/masks (uint8) -> (features, quarter-res
-            images). Taking per-chunk arrays (not a full-video gather) lets
-            the host upload chunk i+1 while chunk i encodes — upload and
-            compute overlap on the device queue.
+        def _encode_chunk(params, fw, mw_bits, hw):
+            """One chunk of frames (uint8) + bit-packed masks -> (features,
+            quarter-res images). Taking per-chunk arrays (not a full-video
+            gather) lets the host upload chunk i+1 while chunk i encodes —
+            upload and compute overlap on the device queue. Masks ride the
+            host->device tunnel bit-packed ((CH, H*W/8) uint8, an 8x byte
+            cut on a link-bound stage) and are unpacked on device.
 
             Normalization matches the reference inference path exactly:
             u8/255*2-1, masked, (then cast to the compute dtype)."""
+            ch, h_, w_ = fw.shape[0], hw[0], hw[1]
+            bits = (mw_bits[..., None] >> jnp.arange(7, -1, -1,
+                                                     dtype=jnp.uint8)) & 1
+            mw = bits.reshape(ch, h_, w_, 1)
             f = fw.astype(jnp.float32) / 255.0 * 2.0 - 1.0
             masked = (f * (1.0 - mw.astype(jnp.float32))).astype(self.dtype)
             feat = e2fgvi.encode(params["encoder"], masked)
@@ -216,7 +222,7 @@ class SlidingWindowInpainter:
             flat = blend.reshape(-1, blend.shape[-1])
             return jnp.take(flat, midx, axis=0).astype(jnp.float16)
 
-        self._encode_jit = jax.jit(_encode_chunk)
+        self._encode_jit = jax.jit(_encode_chunk, static_argnums=(3,))
         self._flow_jit = jax.jit(_flow_chunk)
         self._window_jit = jax.jit(_window_chunk, static_argnums=(9, 10))
         self._flow_bound_jit = jax.jit(_flow_y_bound)
@@ -244,7 +250,11 @@ class SlidingWindowInpainter:
         """Inpaint a full video.
 
         Args:
-          frames: (T, H, W, 3) float32 in [-1, 1] (resized input frames).
+          frames: (T, H, W, 3) resized input frames — either float32 in
+            [-1, 1], or uint8 in [0, 255] (the fast path: all CLI callers
+            construct the float frames FROM uint8 images, so handing the
+            uint8 array over directly is exact and skips a ~1s/video host
+            conversion; the model normalizes on device either way).
           masks: (T, H, W, 1) float32 {0,1} dilated masks.
           orig_frames: (T, H, W, 3) uint8 originals for compositing.
           binary_masks: (T, H, W, 1) uint8 {0,1} for compositing.
@@ -268,12 +278,14 @@ class SlidingWindowInpainter:
 
         # upload the whole (mirror-padded) video ONCE as uint8, padded in T
         # to a bucket length (multiple of the encode chunk) so per-video
-        # lengths within a bucket share every compiled program. The uint8
-        # quantization is exact for both CLI call sites (they construct
-        # `frames` FROM uint8 images); computing it unconditionally beats
-        # sampling-based shortcuts that could silently encode the wrong
-        # video for callers whose orig_frames diverge from frames.
-        frames_u8 = np.round((frames + 1.0) / 2.0 * 255.0).astype(np.uint8)
+        # lengths within a bucket share every compiled program. uint8 input
+        # is used as-is (see docstring); float input is re-quantized, which
+        # is exact for callers whose floats came from uint8 images.
+        if frames.dtype == np.uint8:
+            frames_u8 = frames
+        else:
+            frames_u8 = np.round(
+                (frames + 1.0) / 2.0 * 255.0).astype(np.uint8)
         frames_u8, (h, w) = mirror_pad_hw(frames_u8, *self.pad_mod)
         masks_u8, _ = mirror_pad_hw(masks.astype(np.uint8), *self.pad_mod)
         ch = min(self._ENC_CHUNK, video_length)
@@ -288,10 +300,13 @@ class SlidingWindowInpainter:
         # stage 1: upload + encode, chunk-interleaved — chunk i+1's
         # host->device transfer rides the tunnel while chunk i encodes
         feats, smalls = [], []
+        hpad, wpad = frames_u8.shape[1:3]
         for s in range(0, t_bucket, ch):
             df = jax.device_put(frames_u8[s: s + ch])
-            dm = jax.device_put(masks_u8[s: s + ch])
-            f, sm = self._encode_jit(self.params, df, dm)
+            packed = np.packbits(
+                masks_u8[s: s + ch].reshape(ch, -1), axis=-1)
+            dm = jax.device_put(packed)
+            f, sm = self._encode_jit(self.params, df, dm, (hpad, wpad))
             feats.append(f)
             smalls.append(sm)
         feat_all = jnp.concatenate(feats, axis=0)
@@ -319,6 +334,7 @@ class SlidingWindowInpainter:
         # exact within the band — kernels/dcn_band.py; None -> XLA gather)
         dcn_band = None
         adaptive = False
+        fy = None
         quarter_w = frames_u8.shape[2] // 4
         if self._banded_dcn and n_pairs > 0 and quarter_w <= 127:
             if self.band_override is not None:
@@ -332,7 +348,7 @@ class SlidingWindowInpainter:
                 # contract triggers one exact re-dispatch below
                 band_safe = bandlib.band_for_flow_bound(fy)
                 band_opt = bandlib.band_for_offset_bound(
-                    fy + bandlib.RESIDUAL_GUESS)
+                    fy + bandlib.RESIDUAL_MARGIN)
                 if band_opt is not None and (band_safe is None
                                              or band_opt < band_safe):
                     dcn_band, adaptive = band_opt, True
@@ -422,6 +438,8 @@ class SlidingWindowInpainter:
 
         (pred_row, outs, bounds), dcn_band = dispatch_with_fallback(
             dcn_band)
+        redispatches = 0
+        off_max = None
         if adaptive:
             from e2fgvi_tpu.kernels import dcn_band as bandlib2
             # a violated run's offsets are inexact, so the offsets measured
@@ -437,8 +455,14 @@ class SlidingWindowInpainter:
                 need = bandlib2.band_for_offset_bound(off_max)
                 if need is not None and need <= dcn_band:
                     break                       # contract satisfied
+                redispatches += 1
                 (pred_row, outs, bounds), dcn_band = \
                     dispatch_with_fallback(need)
+        # band-selection telemetry (kernels/dcn_band.py RESIDUAL_MARGIN is
+        # grounded from these measurements — see that module's docstring)
+        self.last_band_stats = {
+            "flow_bound": fy, "band": dcn_band, "offset_bound": off_max,
+            "redispatches": redispatches}
         mark(f"dispatch(band={dcn_band})")
 
         # composite + overlap blend ON DEVICE: the reference's sequential

@@ -77,11 +77,115 @@ def write_mjpeg_avi(path, frames, fps=24, quality=95):
                 riff_body)
 
 
+def _box(tag, payload):
+    return struct.pack(">I", 8 + len(payload)) + _fourcc(tag) + payload
+
+
+def _full_box(tag, version, flags, payload):
+    return _box(tag, struct.pack(">B3s", version,
+                                 flags.to_bytes(3, "big")) + payload)
+
+
+def _mp4_descriptor(tag, payload):
+    # MPEG-4 BaseDescriptor with minimal-length encoding (payloads < 128)
+    assert len(payload) < 128
+    return struct.pack(">BB", tag, len(payload)) + payload
+
+
+def write_mjpeg_mp4(path, frames, fps=24, quality=95):
+    """frames: iterable of uint8 (H, W, 3) RGB arrays -> .mp4 file.
+
+    Self-contained ISO BMFF muxer: one video track whose samples are
+    complete JPEG images, declared via an `mp4v` sample entry with an
+    `esds` objectTypeIndication of 0x6C (ISO/IEC 10918-1 JPEG). This is
+    the standard MJPEG-in-MP4 signaling, decodable by ffmpeg/VLC/
+    QuickTime — the codec-free counterpart of the reference's
+    cv2.VideoWriter(fourcc "mp4v") output (test.py:191-196).
+    """
+    frames = list(frames)
+    if not frames:
+        raise ValueError("no frames")
+    h, w = frames[0].shape[:2]
+    jpegs = []
+    for f in frames:
+        buf = io.BytesIO()
+        Image.fromarray(np.asarray(f, np.uint8)).save(
+            buf, format="JPEG", quality=quality)
+        jpegs.append(buf.getvalue())
+    n = len(jpegs)
+    mdat_payload = b"".join(jpegs)
+
+    timescale = int(fps) * 512
+    delta = timescale // int(fps)
+    duration = n * delta
+
+    ftyp = _box("ftyp", _fourcc("isom") + struct.pack(">I", 512)
+                + _fourcc("isom") + _fourcc("iso2") + _fourcc("mp41"))
+
+    # --- sample table -----------------------------------------------------
+    max_jpeg = max(len(j) for j in jpegs)
+    avg_rate = int(len(mdat_payload) * 8 * fps / n)
+    dec_cfg = _mp4_descriptor(
+        0x04,  # DecoderConfigDescriptor
+        struct.pack(">BB3sII", 0x6C, (0x04 << 2) | 1,   # JPEG, visual stream
+                    max_jpeg.to_bytes(3, "big"), avg_rate, avg_rate))
+    es_desc = _mp4_descriptor(
+        0x03, struct.pack(">HB", 1, 0) + dec_cfg
+        + _mp4_descriptor(0x06, b"\x02"))               # SLConfig: MP4
+    esds = _full_box("esds", 0, 0, es_desc)
+    sample_entry = _box(
+        "mp4v",
+        b"\x00" * 6 + struct.pack(">H", 1)              # data_reference_index
+        + b"\x00" * 16                                  # pre_defined/reserved
+        + struct.pack(">HHIIIH", w, h, 0x00480000, 0x00480000, 0, 1)
+        + b"\x05MJPEG" + b"\x00" * 26                   # compressorname
+        + struct.pack(">Hh", 24, -1) + esds)
+    stsd = _full_box("stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+    stts = _full_box("stts", 0, 0, struct.pack(">III", 1, n, delta))
+    stsc = _full_box("stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _full_box("stsz", 0, 0, struct.pack(">II", 0, n)
+                     + b"".join(struct.pack(">I", len(j)) for j in jpegs))
+    # one chunk holding every sample; its offset = ftyp + mdat header
+    chunk_off = len(ftyp) + 8
+    stco = _full_box("stco", 0, 0, struct.pack(">II", 1, chunk_off))
+    stbl = _box("stbl", stsd + stts + stsc + stsz + stco)
+
+    # --- track / movie boxes ---------------------------------------------
+    dref = _full_box("dref", 0, 0,
+                     struct.pack(">I", 1) + _full_box("url ", 0, 1, b""))
+    minf = _box("minf",
+                _full_box("vmhd", 0, 1, struct.pack(">4H", 0, 0, 0, 0))
+                + _box("dinf", dref) + stbl)
+    mdhd = _full_box("mdhd", 0, 0,
+                     struct.pack(">IIIIHH", 0, 0, timescale, duration,
+                                 0x55C4, 0))            # language "und"
+    hdlr = _full_box("hdlr", 0, 0,
+                     struct.pack(">I", 0) + _fourcc("vide")
+                     + b"\x00" * 12 + b"VideoHandler\x00")
+    mdia = _box("mdia", mdhd + hdlr + minf)
+    matrix = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                         0x40000000)
+    tkhd = _full_box("tkhd", 0, 3,
+                     struct.pack(">IIIII", 0, 0, 1, 0, duration)
+                     + b"\x00" * 8 + struct.pack(">hhhH", 0, 0, 0, 0)
+                     + matrix + struct.pack(">II", w << 16, h << 16))
+    trak = _box("trak", tkhd + mdia)
+    mvhd = _full_box("mvhd", 0, 0,
+                     struct.pack(">IIII", 0, 0, timescale, duration)
+                     + struct.pack(">IH", 0x00010000, 0x0100) + b"\x00" * 10
+                     + matrix + b"\x00" * 24 + struct.pack(">I", 2))
+    moov = _box("moov", mvhd + trak)
+
+    with open(path, "wb") as f:
+        f.write(ftyp + _box("mdat", mdat_payload) + moov)
+
+
 def write_video(path, frames, fps=24):
     """Write RGB uint8 frames; chooses the best available backend.
 
-    Returns the actual path written (extension may change to .avi when no
-    mp4 encoder exists)."""
+    Returns the actual path written. `.mp4` requests always produce an
+    mp4: an ffmpeg-backed encode when imageio has one, else the
+    self-contained MJPEG-in-MP4 muxer above."""
     frames = [np.asarray(f, np.uint8) for f in frames]
     if path.endswith(".mp4"):
         try:
@@ -91,7 +195,8 @@ def write_video(path, frames, fps=24):
                     wr.append_data(f)
             return path
         except Exception:
-            path = path[:-4] + ".avi"
+            write_mjpeg_mp4(path, frames, fps=fps)
+            return path
     if not path.endswith(".avi"):
         path = path + ".avi"
     write_mjpeg_avi(path, frames, fps=fps)

@@ -41,11 +41,21 @@ _OFFSET_SLACK = 10 + 1 + 2
 # tap +-1 and floor/ceil corners +-2 — the slack that remains once the
 # actual offset magnitude (flow + tanh residual) has been measured
 _TAP_CORNER_SLACK = 1 + 2
-# assumed residual magnitude for the optimistic first dispatch; trained
-# residual heads keep offsets near the guiding flow, so small residuals
-# dominate in practice. The in-forward measured bound catches violations
-# and triggers an exact re-dispatch (data/pipeline.py).
-RESIDUAL_GUESS = 4.0
+# Assumed residual magnitude for the optimistic first dispatch. The
+# offset head's residual is tanh-bounded at 10 (feat_prop.py), but
+# trained heads keep offsets near the guiding flow, so a much smaller
+# margin suffices in practice. Grounding (pipeline.last_band_stats over
+# the tennis bench at serving weights): measured offset_bound exceeds the
+# measured flow_bound by ~1-2 px, so 4.0 leaves >2 px of headroom and
+# re-dispatches were never observed (bench reports `band_redispatches`).
+# A violated margin is caught by the in-forward measured bound and costs
+# one exact re-dispatch (~40 s compile for an unseen band bucket, free
+# for a cached one) — never wrong output. Tunable per deployment via
+# E2FGVI_DCN_RESIDUAL until a released checkpoint allows a definitive
+# measurement.
+import os as _os
+
+RESIDUAL_MARGIN = float(_os.environ.get("E2FGVI_DCN_RESIDUAL", "4.0"))
 
 
 def band_for_flow_bound(max_abs_flow_y: float) -> int | None:

@@ -376,6 +376,8 @@ def _attention_xla(q_win, k_all, v_all, bias_full, b):
 
 
 def _attention_flash(q_win, k_all, v_all, bias_full, b):
+    import os
+
     from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
     bw, heads, nq, hd = q_win.shape
@@ -401,15 +403,28 @@ def _attention_flash(q_win, k_all, v_all, bias_full, b):
         [jnp.where(kv_mask, 2, 0).astype(jnp.int32),
          jnp.full((bw, pad_k), 2, jnp.int32)], axis=1)
     nqp, nkp = nq + pad_q, nk + pad_k
-    bq = nqp
-    if bq > 1024:                       # block_q must divide padded nq
+    # block_q: the whole padded q axis (measured ~2x over 256-blocks at
+    # the bench geometry — K never re-streams). E2FGVI_FA_BQ=128|256|512
+    # forces small blocks (debug escape hatch).
+    bq_env = os.environ.get("E2FGVI_FA_BQ")
+    if bq_env:
+        bq = max(d for d in (512, 256, 128)
+                 if nqp % d == 0 and d <= int(bq_env))
+    elif nqp <= 1024:
+        bq = nqp
+    else:
         bq = max(d for d in (512, 256, 128) if nqp % d == 0)
     bs = fa.BlockSizes(block_q=bq,
                        block_k_major=nkp, block_k=min(512, nkp),
                        block_b=1)
-    out = fa.flash_attention(
-        q, k, v, segment_ids=fa.SegmentIds(q=q_seg, kv=kv_seg),
-        sm_scale=1.0, block_sizes=bs)
+    # this is the 16-bit speed path: pin matmul precision to 'default'
+    # for the kernel's internal dots. A global 'highest' policy (the
+    # correctness default of utils.env) stamps contract_precision<fp32>
+    # onto bf16 vectors, which Mosaic rejects ("Bad lhs type").
+    with jax.default_matmul_precision("default"):
+        out = fa.flash_attention(
+            q, k, v, segment_ids=fa.SegmentIds(q=q_seg, kv=kv_seg),
+            sm_scale=1.0, block_sizes=bs)
     return out[:, :, :nq, :].astype(q_win.dtype)
 
 

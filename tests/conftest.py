@@ -8,16 +8,20 @@ import os
 
 # NOTE: this box exports JAX_PLATFORMS=axon and the plugin force-prepends
 # itself, so the env var alone is NOT enough — the config update below is
-# what actually pins tests to CPU.
-os.environ["JAX_PLATFORMS"] = "cpu"
-prev = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in prev:
-    os.environ["XLA_FLAGS"] = (
-        prev + " --xla_force_host_platform_device_count=8").strip()
+# what actually pins tests to CPU. E2FGVI_TEST_TPU=1 lifts the pin for the
+# TPU-gated serving fast-path tests (tests/test_fastpath_tpu.py).
+_USE_TPU = bool(os.environ.get("E2FGVI_TEST_TPU"))
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    prev = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in prev:
+        os.environ["XLA_FLAGS"] = (
+            prev + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 from e2fgvi_tpu.utils import env  # noqa: E402
 

@@ -86,12 +86,64 @@ def test_dilate_cross_matches_bruteforce(rng):
 def test_mjpeg_avi_writer_roundtrip(tmp_path, rng):
     frames = [rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
               for _ in range(5)]
-    path = str(tmp_path / "out.mp4")
+    path = str(tmp_path / "out.avi")
     written = video.write_video(path, frames, fps=10)
     assert os.path.getsize(written) > 1000
     with open(written, "rb") as f:
         head = f.read(12)
     assert head[:4] == b"RIFF" and head[8:12] == b"AVI "
+
+
+def _mp4_boxes(buf, start, end):
+    """Top-level {tag: (payload_start, payload_end)} of an ISO BMFF span."""
+    import struct as _s
+    out = {}
+    o = start
+    while o < end:
+        size = _s.unpack(">I", buf[o:o + 4])[0]
+        tag = buf[o + 4:o + 8].decode("ascii")
+        out[tag] = (o + 8, o + size)
+        o += size
+    return out
+
+
+def test_mjpeg_mp4_writer_roundtrip(tmp_path, rng):
+    """write_video('.mp4') must produce a real ISO BMFF mp4 whose samples
+    decode back to the input frames (reference test.py:191-196 contract)."""
+    import io
+    import struct as _s
+    from PIL import Image
+    yy, xx = np.mgrid[0:48, 0:64].astype(np.float32)
+    frames = [np.stack([yy * 5 + i * 10, xx * 3, yy + xx], -1
+                       ).clip(0, 255).astype(np.uint8) for i in range(5)]
+    path = str(tmp_path / "out.mp4")
+    written = video.write_video(path, frames, fps=10)
+    assert written.endswith(".mp4")
+    buf = open(written, "rb").read()
+    top = _mp4_boxes(buf, 0, len(buf))
+    assert set(top) == {"ftyp", "mdat", "moov"}
+    # walk moov -> trak -> mdia -> minf -> stbl
+    boxes = _mp4_boxes(buf, *top["moov"])
+    for tag in ("trak", "mdia", "minf", "stbl"):
+        boxes = _mp4_boxes(buf, *boxes[tag])
+    stbl = boxes
+    # sample sizes and the single chunk offset
+    s, _ = stbl["stsz"]
+    cnt = _s.unpack(">I", buf[s + 8:s + 12])[0]
+    sizes = _s.unpack(f">{cnt}I", buf[s + 12:s + 12 + 4 * cnt])
+    assert cnt == 5
+    s, _ = stbl["stco"]
+    off = _s.unpack(">I", buf[s + 8:s + 12])[0]
+    # every sample is a complete JPEG that decodes to the original frame
+    for i, sz in enumerate(sizes):
+        data = buf[off:off + sz]
+        assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+        img = np.asarray(Image.open(io.BytesIO(data)))
+        assert img.shape == (48, 64, 3)
+        # JPEG is lossy; mean error should still be small
+        assert np.abs(img.astype(np.int32)
+                      - frames[i].astype(np.int32)).mean() < 30
+        off += sz
 
 
 def test_native_matches_numpy(rng):

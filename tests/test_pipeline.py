@@ -61,6 +61,20 @@ def test_sliding_window_matches_reference_loop(hq_params, rng):
         assert (diff > 1.0).mean() < 2e-3, diff.max()
 
 
+def test_uint8_input_fast_path_is_exact(hq_params, rng):
+    """Passing the uint8 source frames directly (the CLI/bench fast path)
+    must match passing the float frames derived from them — the pipeline
+    re-quantizes floats to the same bytes."""
+    t_video, h, w = 8, 120, 216
+    frames, masks, orig, binary = _make_video(rng, t_video, h, w)
+    r = SlidingWindowInpainter(hq_params, e2fgvi.generator_forward,
+                               max_batch=4)
+    a = r(frames, masks, orig, binary)
+    b = r(orig, masks, orig, binary)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
 def test_batch_padding_is_exact(hq_params, rng):
     """A window computed alone must equal the same window inside a padded
     batch (batch entries are independent)."""
