@@ -106,7 +106,11 @@ class SlidingWindowInpainter:
                feat_prop -> transformer -> decode (local frames only)
     """
 
-    _ENC_CHUNK = 35  # frames per encode jit call (70-frame video = 2 calls)
+    # frames per encode jit call (70-frame video = 2 calls). Tunable:
+    # smaller chunks overlap upload with compute; fewer chunks cut
+    # per-dispatch round-trip latency (significant on tunnel-attached
+    # devices) and change the video-length bucket granularity.
+    _ENC_CHUNK = int(os.environ.get("E2FGVI_ENC_CHUNK", "35"))
 
     def __init__(self, params, forward: Callable = None,
                  neighbor_stride: int = 5,
@@ -203,7 +207,7 @@ class SlidingWindowInpainter:
                         jnp.float32))
             return m
 
-        def _assemble(preds_flat, idx, wt, midx, h, w):
+        def _assemble(preds_flat, pidx, wt):
             """Sparse assembly of the final composite. The composite equals
             `orig` everywhere outside the dilated mask (comp = blend*m +
             orig*(1-m)) and the host already holds `orig` — so only the
@@ -212,21 +216,24 @@ class SlidingWindowInpainter:
             masks). Blend weights are dyadic quarters over uint8 window
             predictions, so the f16 result is exact.
 
-            idx/wt: (T, k) window-prediction rows + blend weights per
-            frame. midx: (N,) flat indices into (T*h*w) of masked pixels
-            (padded to a bucket size by repeating an index)."""
-            pr = jnp.take(preds_flat, idx.reshape(-1), axis=0)
-            pr = pr.reshape(*idx.shape, *preds_flat.shape[1:])
-            pr = pr[:, :, :h, :w].astype(jnp.float32)
-            blend = (pr * wt[:, :, None, None, None]).sum(axis=1)
-            flat = blend.reshape(-1, blend.shape[-1])
-            return jnp.take(flat, midx, axis=0).astype(jnp.float16)
+            Gather-then-blend: per masked pixel, its k contributing window
+            predictions are gathered directly (flat indices into the
+            prediction tensor, computed on the host) and blended — nothing
+            frame-sized is ever materialized (the earlier blend-then-gather
+            form wrote a full (T, H, W, 3) f32 video to HBM first).
+
+            pidx: (N, k) flat indices into preds_flat.reshape(-1, 3).
+            wt: (N, k) blend weights (zeros pad unused slots)."""
+            flat = preds_flat.reshape(-1, preds_flat.shape[-1])
+            pr = jnp.take(flat, pidx.reshape(-1), axis=0)
+            pr = pr.reshape(*pidx.shape, -1).astype(jnp.float32)
+            return (pr * wt[..., None]).sum(axis=1).astype(jnp.float16)
 
         self._encode_jit = jax.jit(_encode_chunk, static_argnums=(3,))
         self._flow_jit = jax.jit(_flow_chunk)
         self._window_jit = jax.jit(_window_chunk, static_argnums=(9, 10))
         self._flow_bound_jit = jax.jit(_flow_y_bound)
-        self._assemble_jit = jax.jit(_assemble, static_argnums=(4, 5))
+        self._assemble_jit = jax.jit(_assemble)
         # the banded Pallas DCN sampler needs a Mosaic backend and a
         # quarter-res width that fits the 128-lane vreg. band_override
         # pins the band instead of measuring it from the video's flows —
@@ -448,11 +455,18 @@ class SlidingWindowInpainter:
             # also satisfies the bound measured ON that output (exact by
             # the kernel contract). Bounded: each iteration grows the band
             # bucket, ending at the XLA sampler (always exact).
+            # the banded flow warps inside feat_prop need band >=
+            # band_for_warp_bound(fy) (fy is the EXACT measured flow bound
+            # incl. second-order composition) — keep the re-dispatch band
+            # from shrinking below it when residuals cancel the flow
+            warp_need = bandlib2.band_for_warp_bound(fy)
             for _ in range(len(bandlib2.BAND_BUCKETS) + 1):
                 if dcn_band is None:
                     break                       # XLA sampler: exact
                 off_max = max(float(np.asarray(ob)) for ob in bounds)
                 need = bandlib2.band_for_offset_bound(off_max)
+                if need is not None and warp_need is not None:
+                    need = max(need, warp_need)
                 if need is not None and need <= dcn_band:
                     break                       # contract satisfied
                 redispatches += 1
@@ -501,14 +515,21 @@ class SlidingWindowInpainter:
         mask_idx = np.flatnonzero(bm)
         n_masked = mask_idx.size
         bucket = 1 << max(12, int(np.ceil(np.log2(max(1, n_masked)))))
-        midx = np.zeros(bucket, np.int32)
-        midx[:n_masked] = mask_idx
+        # per masked pixel: flat indices of its k contributing window
+        # predictions (rows are at the padded prediction resolution)
+        hp_i, wp_i = outs[0].shape[1:3]
+        fidx = mask_idx // (h * w)
+        rem = mask_idx % (h * w)
+        pos = (rem // w) * wp_i + rem % w
+        pidx = np.zeros((bucket, idx_np.shape[1]), np.int32)
+        wts = np.zeros((bucket, idx_np.shape[1]), np.float32)
+        pidx[:n_masked] = idx_np[fidx] * (hp_i * wp_i) + pos[:, None]
+        wts[:n_masked] = wt_np[fidx]
         mark("mask_idx")
 
         preds_flat = jnp.concatenate(outs, axis=0)
         pulled = np.asarray(self._assemble_jit(
-            preds_flat, jnp.asarray(idx_np), jnp.asarray(wt_np),
-            jnp.asarray(midx), h, w))
+            preds_flat, jnp.asarray(pidx), jnp.asarray(wts)))
         mark("assemble_pull")
 
         # scatter the masked pixels into copies of the originals:

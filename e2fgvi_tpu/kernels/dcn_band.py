@@ -79,6 +79,16 @@ def band_for_offset_bound(max_abs_off_y: float) -> int | None:
     return None
 
 
+def band_for_warp_bound(max_abs_flow_y: float) -> int | None:
+    """Smallest band bucket exact for `flow_warp_banded` at a MEASURED
+    |flow_y| bound (K=1: corners only, no tap extent, no residual)."""
+    need = 2 * (math.ceil(max_abs_flow_y) + 2) + 1
+    for b in BAND_BUCKETS:
+        if b >= need:
+            return b
+    return None
+
+
 def _sampler_kernel(lo_ref, hi_ref, src_ref, py_ref, px_ref, m_ref,
                     out_ref, acc_ref, *, band, cg, hp, wp, dy_lo, dtype,
                     dynamic_bounds):
@@ -211,6 +221,75 @@ def _build_sampler(ng, k, cg, hp, wp, band, dy_lo, dtype_name, interpret,
         out_shape=jax.ShapeDtypeStruct((ng, k, cg, hp, wp), dtype),
         interpret=bool(interpret),
     )
+
+
+def flow_warp_banded(x, flow, *, band=32, interpret=False, light=None):
+    """Banded Pallas flow_warp — same contract as ops.warp.flow_warp
+    (align_corners bilinear, zeros padding; reference flow_comp.py:345-383)
+    whenever |flow_y| respects the band contract (module docstring with
+    K=1, no tap extent). flow_warp is a K=1, G=1 special case of the DCN
+    sampler, so it reuses `_build_sampler` verbatim with channels tiled
+    across the "group" axis (<=64 per tile to respect VMEM) and no
+    weight contraction.
+
+    Motivation: XLA lowers the bilinear gather to a row-issue-bound
+    gather (~40M rows/s); the two 128-channel feature warps per
+    propagation step issue ~726k rows — the dominant cost of feat_prop
+    (results/profile_r03.json). The banded kernel streams rows instead.
+
+    x: (N, H, W, C); flow: (N, H, W, 2), last dim (dx, dy) in pixels.
+    """
+    n, h, w, c = x.shape
+    assert w <= LANES - 1, f"banded warp requires W <= {LANES - 1}, got {w}"
+    cg = math.gcd(c, 64)
+    g = c // cg
+    dy_lo = -(band // 2)
+    hp = -(-h // 8) * 8
+    wp = LANES
+    dtype = x.dtype
+
+    fl = flow.astype(jnp.float32)
+    py = jnp.arange(h, dtype=jnp.float32)[None, :, None] + fl[..., 1]
+    px = jnp.arange(w, dtype=jnp.float32)[None, None, :] + fl[..., 0]
+
+    def pos_layout(p):
+        # (N, H, W) -> (N*G, 1, HP, WP); all channel tiles of an image
+        # share its positions
+        p = jnp.pad(p, ((0, 0), (0, hp - h), (0, wp - w)),
+                    constant_values=-1e4)
+        return jnp.broadcast_to(p[:, None, None], (n, g, 1, hp, wp)
+                                ).reshape(n * g, 1, hp, wp)
+
+    pyg = pos_layout(py)
+    pxg = pos_layout(px)
+    ones = jnp.ones((n * g, 1, hp, wp), jnp.float32)
+
+    # per-image needed row range (rel = py - row = flow_y - dy_lo)
+    rel_min = jnp.min(fl[..., 1], axis=(1, 2)) - dy_lo        # (N,)
+    rel_max = jnp.max(fl[..., 1], axis=(1, 2)) - dy_lo
+    row_lo = jnp.clip(jnp.floor(rel_min - 1), 0, band).astype(jnp.int32)
+    row_hi = jnp.clip(jnp.ceil(rel_max + 1) + 1, 0, band).astype(jnp.int32)
+    row_lo = jnp.broadcast_to(row_lo[:, None], (n, g)).reshape(n * g, 1)
+    row_hi = jnp.maximum(
+        jnp.broadcast_to(row_hi[:, None], (n, g)).reshape(n * g, 1), row_lo)
+
+    xs = x.reshape(n, h, w, g, cg).transpose(0, 3, 4, 1, 2)
+    xs = xs.reshape(n * g, cg, h, w)
+    xs = jnp.pad(xs, ((0, 0), (0, 0),
+                      (-dy_lo, band + dy_lo + hp - h), (0, wp - w)))
+
+    if light is None:
+        light = bool(interpret) or jax.default_backend() == "cpu"
+    sampler = _build_sampler(n * g, 1, cg, hp, wp, band, dy_lo,
+                             jnp.dtype(dtype).name, bool(interpret),
+                             light=light)
+    if light:
+        sampled = sampler(xs, pyg, pxg, ones)
+    else:
+        sampled = sampler(row_lo, row_hi, xs, pyg, pxg, ones)
+    # (N*G, 1, CG, HP, WP) -> (N, H, W, C)
+    sampled = sampled.reshape(n, g, cg, hp, wp)[..., :h, :w]
+    return sampled.transpose(0, 3, 4, 1, 2).reshape(n, h, w, c)
 
 
 def modulated_deform_conv2d_banded(x, offset, mask, w, b=None, *,

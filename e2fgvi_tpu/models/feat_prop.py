@@ -217,11 +217,25 @@ def bidirectional_propagation(params, x, flows_backward_branch,
         if direction == "forward":
             xs["bwd"] = feats["backward"][1:]
 
+        # on the banded serving path the three per-step warps also run
+        # through the Pallas sampler (flow_warp is its K=1/G=1 special
+        # case): XLA's bilinear gather is row-issue-bound and the two
+        # 128-channel feature warps dominate the propagation budget. The
+        # pipeline guarantees band >= band_for_warp_bound(measured
+        # |flow_y| incl. second-order composition), so this is exact.
+        if dcn_band is not None:
+            from e2fgvi_tpu.kernels.dcn_band import flow_warp_banded
+
+            def warp(z, f):
+                return flow_warp_banded(z, f, band=dcn_band)
+        else:
+            warp = flow_warp
+
         def step(carry, xi, p=p, masked=masked, fwd=direction == "forward"):
             prev1, prev2 = carry
             i = xi["i"]
             flow_n1 = xi["f1"]
-            cond_n1 = flow_warp(prev1, flow_n1)
+            cond_n1 = warp(prev1, flow_n1)
             # second-order state: zeros at the first recurrence step and —
             # for padded windows — at each element's second real step
             # (the reference's cold start, feat_prop.py:90-141)
@@ -233,8 +247,8 @@ def bidirectional_propagation(params, x, flows_backward_branch,
                 use2 = jnp.broadcast_to(use2, (b,))
             use2 = use2[:, None, None, None].astype(x.dtype)
             feat_n2 = prev2 * use2
-            flow_n2 = (flow_n1 + flow_warp(xi["f2"], flow_n1)) * use2
-            cond_n2 = flow_warp(feat_n2, flow_n2)
+            flow_n2 = (flow_n1 + warp(xi["f2"], flow_n1)) * use2
+            cond_n2 = warp(feat_n2, flow_n2)
 
             cond = jnp.concatenate([cond_n1, xi["cur"], cond_n2], axis=-1)
             stacked = jnp.concatenate([prev1, feat_n2], axis=-1)

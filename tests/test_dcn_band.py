@@ -90,6 +90,38 @@ def test_feat_prop_banded_matches_default(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_flow_warp_banded_matches_xla(rng):
+    """Banded warp (the K=1 sampler reuse) vs ops.warp.flow_warp — both
+    the light full-sweep and the production scalar-prefetch variant,
+    including samples pushed outside the image (zeros semantics) and a
+    channel count that tiles across the group axis."""
+    from e2fgvi_tpu.kernels.dcn_band import flow_warp_banded
+    from e2fgvi_tpu.ops.warp import flow_warp
+    n, h, w, c = 2, 12, 16, 128  # c=128 -> two 64-channel tiles
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    flow = jnp.asarray(rng.uniform(-5, 5, (n, h, w, 2)), jnp.float32)
+    # push a stripe outside the image: zeros semantics
+    flow = flow.at[:, :2].add(jnp.asarray([0.0, -9.0]))
+    want = flow_warp(x, flow)
+    for light in (True, False):
+        got = flow_warp_banded(x, flow, band=24, interpret=True,
+                               light=light)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-4)
+
+
+def test_flow_warp_banded_small_channels(rng):
+    """C=2 (the flow-composition warp in feat_prop)."""
+    from e2fgvi_tpu.kernels.dcn_band import flow_warp_banded
+    from e2fgvi_tpu.ops.warp import flow_warp
+    x = jnp.asarray(rng.standard_normal((1, 8, 16, 2)), jnp.float32)
+    flow = jnp.asarray(rng.uniform(-3, 3, (1, 8, 16, 2)), jnp.float32)
+    want = flow_warp(x, flow)
+    got = flow_warp_banded(x, flow, band=16, interpret=True, light=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+
+
 def test_band_for_flow_bound():
     assert band_for_flow_bound(0.0) == 32
     assert band_for_flow_bound(1.4) == 32
