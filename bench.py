@@ -127,15 +127,41 @@ def main():
     return True
 
 
+def _watchdog(seconds):
+    """Backstop for a hung device init / runaway compile: the driver runs
+    this script under `timeout` (observed rc=124 in round 2) — a kill
+    leaves NO JSON line and the round scores zero. Fire before any likely
+    external timeout and emit a parseable error line instead of silence.
+    Runs on a daemon thread because a hang inside XLA/axon ignores Python
+    signals until the C++ call returns."""
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "frames_per_sec_432x240", "value": 0.0,
+            "unit": "frames/s", "vs_baseline": 0.0,
+            "error": f"watchdog: no result after {seconds}s "
+                     "(device init hang or cold-cache compile)",
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 if __name__ == "__main__":
     # the driver parses exactly one JSON line from stdout and gets one
     # shot per round — be defensive: retry a failed run once (transient
     # tunnel/compile hiccups), and on terminal failure still emit a JSON
     # line recording the error instead of silence
     import traceback
+    _wd = _watchdog(float(os.environ.get("E2FGVI_BENCH_WATCHDOG", "540")))
     for attempt in range(2):
         try:
             if main():
+                _wd.cancel()
                 break
         except Exception:
             traceback.print_exc()

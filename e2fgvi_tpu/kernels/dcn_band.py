@@ -57,6 +57,18 @@ import os as _os
 
 RESIDUAL_MARGIN = float(_os.environ.get("E2FGVI_DCN_RESIDUAL", "4.0"))
 
+# Row granularity of the per-strip skip bounds (the sweep work scales with
+# the offsets' vertical span within a strip, not the whole image — see
+# _sampler_kernel). 0 disables strips (whole-tile bounds, the pre-strip
+# behavior) for A/B benching.
+STRIP_ROWS = int(_os.environ.get("E2FGVI_BAND_STRIP_ROWS", "8"))
+
+
+def _n_strips(hp: int) -> int:
+    if STRIP_ROWS <= 0 or hp % STRIP_ROWS:
+        return 1
+    return hp // STRIP_ROWS
+
 
 def band_for_flow_bound(max_abs_flow_y: float) -> int | None:
     """Smallest band bucket covering |flow_y| <= max_abs_flow_y (in quarter
@@ -91,7 +103,7 @@ def band_for_warp_bound(max_abs_flow_y: float) -> int | None:
 
 def _sampler_kernel(lo_ref, hi_ref, src_ref, py_ref, px_ref, m_ref,
                     out_ref, acc_ref, *, band, cg, hp, wp, dy_lo, dtype,
-                    dynamic_bounds):
+                    dynamic_bounds, strips=1):
     py = py_ref[0, 0]
     px = px_ref[0, 0]
     x0 = jnp.clip(jnp.floor(px), 0, wp - 2).astype(jnp.int32)
@@ -116,43 +128,62 @@ def _sampler_kernel(lo_ref, hi_ref, src_ref, py_ref, px_ref, m_ref,
     # offsets (computed in XLA, delivered as SMEM scalars); rows outside
     # contribute exactly zero weight, so skipping them is exact. Typical
     # trained offsets need ~2 of the band's 2-10 blocks.
+    #
+    # strips > 1 tightens the skip further: bounds are measured per
+    # output-row strip (offsets vary smoothly across the image, so a
+    # strip's vertical span is far smaller than the whole tile's), and
+    # the band sweep runs per strip on (hp/strips, wp) sub-tiles.
+    # strips == 1 reproduces the whole-tile behavior exactly.
     if dynamic_bounds:
         i = pl.program_id(0)
         t = pl.program_id(1)
-        lo_blk = lo_ref[i, t] // 8
-        hi_blk = (hi_ref[i, t] + 7) // 8
-    else:
-        lo_blk, hi_blk = None, None
+    sh = hp // strips
 
     for c in range(cg):
         acc_ref[c] = jnp.zeros((hp, wp), gdt)
 
-    for bi in range(band // 8):
-
-        def blk(bi=bi):
-            base = float(dy_lo + bi * 8)
-            wps = []
-            for r in range(8):
-                wy = jax.nn.relu(1.0 - jnp.abs(py - (rows + (base + r))))
-                wps.append(((wy * wx0).astype(gdt),
-                            (wy * wx1).astype(gdt)))
-            for c in range(cg):
-                acc = acc_ref[c]
-                for r in range(8):
-                    s = src_ref[0, c, bi * 8 + r: bi * 8 + r + hp,
-                                :].astype(gdt)
-                    g0 = jnp.take_along_axis(s, x0, axis=1,
-                                             mode="promise_in_bounds")
-                    g1 = jnp.take_along_axis(s, x1, axis=1,
-                                             mode="promise_in_bounds")
-                    w0, w1 = wps[r]
-                    acc = acc + g0 * w0 + g1 * w1
-                acc_ref[c] = acc
-
-        if dynamic_bounds:
-            pl.when((bi >= lo_blk) & (bi < hi_blk))(blk)
+    for s in range(strips):
+        r0, r1 = s * sh, (s + 1) * sh
+        if strips > 1:
+            py_s, x0_s, x1_s = py[r0:r1], x0[r0:r1], x1[r0:r1]
+            wx0_s, wx1_s = wx0[r0:r1], wx1[r0:r1]
+            rows_s = rows[r0:r1]
         else:
-            blk()
+            py_s, x0_s, x1_s = py, x0, x1
+            wx0_s, wx1_s = wx0, wx1
+            rows_s = rows
+        if dynamic_bounds:
+            lo_blk = lo_ref[i, t, s] // 8
+            hi_blk = (hi_ref[i, t, s] + 7) // 8
+        for bi in range(band // 8):
+
+            def blk(bi=bi, py_s=py_s, x0_s=x0_s, x1_s=x1_s, wx0_s=wx0_s,
+                    wx1_s=wx1_s, rows_s=rows_s, r0=r0, r1=r1):
+                base = float(dy_lo + bi * 8)
+                wps = []
+                for r in range(8):
+                    wy = jax.nn.relu(
+                        1.0 - jnp.abs(py_s - (rows_s + (base + r))))
+                    wps.append(((wy * wx0_s).astype(gdt),
+                                (wy * wx1_s).astype(gdt)))
+                for c in range(cg):
+                    acc = acc_ref[c, r0:r1]
+                    for r in range(8):
+                        sm = src_ref[0, c, r0 + bi * 8 + r:
+                                     r0 + bi * 8 + r + (r1 - r0),
+                                     :].astype(gdt)
+                        g0 = jnp.take_along_axis(sm, x0_s, axis=1,
+                                                 mode="promise_in_bounds")
+                        g1 = jnp.take_along_axis(sm, x1_s, axis=1,
+                                                 mode="promise_in_bounds")
+                        w0, w1 = wps[r]
+                        acc = acc + g0 * w0 + g1 * w1
+                    acc_ref[c, r0:r1] = acc
+
+            if dynamic_bounds:
+                pl.when((bi >= lo_blk) & (bi < hi_blk))(blk)
+            else:
+                blk()
 
     for c in range(cg):
         out_ref[0, 0, c] = acc_ref[c].astype(dtype) * m
@@ -160,12 +191,13 @@ def _sampler_kernel(lo_ref, hi_ref, src_ref, py_ref, px_ref, m_ref,
 
 @functools.lru_cache(maxsize=None)
 def _build_sampler(ng, k, cg, hp, wp, band, dy_lo, dtype_name, interpret,
-                   light=False):
+                   light=False, strips=1):
     dtype = jnp.dtype(dtype_name).type
     hs = hp + band
     kern = functools.partial(_sampler_kernel, band=band, cg=cg, hp=hp,
                              wp=wp, dy_lo=dy_lo, dtype=dtype,
-                             dynamic_bounds=not light)
+                             dynamic_bounds=not light,
+                             strips=strips if not light else 1)
     gdt = jnp.float32 if dtype == jnp.bfloat16 else dtype
     scratch = [pltpu.VMEM((cg, hp, wp), gdt)]
     if light:
@@ -264,14 +296,24 @@ def flow_warp_banded(x, flow, *, band=32, interpret=False, light=None):
     pxg = pos_layout(px)
     ones = jnp.ones((n * g, 1, hp, wp), jnp.float32)
 
-    # per-image needed row range (rel = py - row = flow_y - dy_lo)
-    rel_min = jnp.min(fl[..., 1], axis=(1, 2)) - dy_lo        # (N,)
-    rel_max = jnp.max(fl[..., 1], axis=(1, 2)) - dy_lo
+    # per-(image, 8-row strip) needed row range (rel = py - row =
+    # flow_y - dy_lo); padded strips get lo == hi == band -> swept nothing
+    strips = _n_strips(hp)
+    sr = hp // strips
+    rel = fl[..., 1] - dy_lo                                  # (N, H, W)
+    relp_min = jnp.pad(rel, ((0, 0), (0, hp - h), (0, 0)),
+                       constant_values=1e9)
+    relp_max = jnp.pad(rel, ((0, 0), (0, hp - h), (0, 0)),
+                       constant_values=-1e9)
+    rel_min = relp_min.reshape(n, strips, sr, w).min(axis=(2, 3))  # (N, S)
+    rel_max = relp_max.reshape(n, strips, sr, w).max(axis=(2, 3))
     row_lo = jnp.clip(jnp.floor(rel_min - 1), 0, band).astype(jnp.int32)
     row_hi = jnp.clip(jnp.ceil(rel_max + 1) + 1, 0, band).astype(jnp.int32)
-    row_lo = jnp.broadcast_to(row_lo[:, None], (n, g)).reshape(n * g, 1)
-    row_hi = jnp.maximum(
-        jnp.broadcast_to(row_hi[:, None], (n, g)).reshape(n * g, 1), row_lo)
+    row_hi = jnp.maximum(row_hi, row_lo)
+    row_lo = jnp.broadcast_to(row_lo[:, None, None, :],
+                              (n, g, 1, strips)).reshape(n * g, 1, strips)
+    row_hi = jnp.broadcast_to(row_hi[:, None, None, :],
+                              (n, g, 1, strips)).reshape(n * g, 1, strips)
 
     xs = x.reshape(n, h, w, g, cg).transpose(0, 3, 4, 1, 2)
     xs = xs.reshape(n * g, cg, h, w)
@@ -282,7 +324,7 @@ def flow_warp_banded(x, flow, *, band=32, interpret=False, light=None):
         light = bool(interpret) or jax.default_backend() == "cpu"
     sampler = _build_sampler(n * g, 1, cg, hp, wp, band, dy_lo,
                              jnp.dtype(dtype).name, bool(interpret),
-                             light=light)
+                             light=light, strips=strips)
     if light:
         sampled = sampler(xs, pyg, pxg, ones)
     else:
@@ -341,17 +383,24 @@ def modulated_deform_conv2d_banded(x, offset, mask, w, b=None, *,
     pxg = pos_layout(px)
     mg = pos_layout(mask.astype(jnp.float32))
 
-    # per-(N*G, K) needed row range: a band row di contributes iff
+    # per-(N*G, K, strip) needed row range: a band row di contributes iff
     # |py - (row + dy_lo + di)| < 1, and py - row = (ky - padding) + off_y
-    # — so the range follows from the tile's offset extrema (computed
-    # BEFORE pos_layout's -1e4 padding, which would pin the minimum)
+    # — so the range follows from the strip's offset extrema (computed
+    # BEFORE pos_layout's -1e4 padding, which would pin the minimum;
+    # padded strips get lo == hi == band -> swept nothing)
+    strips = _n_strips(hp)
+    sr = hp // strips
     rel = off[..., 0] + (ky[None, None, None, None, :] - padding) - dy_lo
-    rel_min = jnp.min(rel, axis=(1, 2))            # (N, G, K)
-    rel_max = jnp.max(rel, axis=(1, 2))
+    pad5 = ((0, 0), (0, hp - ho), (0, 0), (0, 0), (0, 0))
+    relp_min = jnp.pad(rel, pad5, constant_values=1e9)
+    relp_max = jnp.pad(rel, pad5, constant_values=-1e9)
+    rel_min = relp_min.reshape(n, strips, sr, wo, g, k).min(axis=(2, 3))
+    rel_max = relp_max.reshape(n, strips, sr, wo, g, k).max(axis=(2, 3))
     row_lo = jnp.clip(jnp.floor(rel_min - 1), 0, band).astype(jnp.int32)
     row_hi = jnp.clip(jnp.ceil(rel_max + 1) + 1, 0, band).astype(jnp.int32)
-    row_lo = row_lo.reshape(n * g, k)
-    row_hi = jnp.maximum(row_hi.reshape(n * g, k), row_lo)
+    row_hi = jnp.maximum(row_hi, row_lo)                # (N, S, G, K)
+    row_lo = row_lo.transpose(0, 2, 3, 1).reshape(n * g, k, strips)
+    row_hi = row_hi.transpose(0, 2, 3, 1).reshape(n * g, k, strips)
 
     # src: (N,H,W,Cin) -> (N*G, CG, HS, WP), rows shifted so padded row r
     # holds real row r + dy_lo (zero outside)
@@ -367,7 +416,7 @@ def modulated_deform_conv2d_banded(x, offset, mask, w, b=None, *,
         light = bool(interpret) or jax.default_backend() == "cpu"
     sampler = _build_sampler(n * g, k, cg, hp, wp, band, dy_lo,
                              jnp.dtype(dtype).name, bool(interpret),
-                             light=light)
+                             light=light, strips=strips)
     if light:
         sampled = sampler(xs, pyg, pxg, mg)
     else:

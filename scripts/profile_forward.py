@@ -95,6 +95,33 @@ def main():
                                         e2fgvi.WINDOW_SIZE,
                                         e2fgvi.FOCAL_LEVEL)
 
+    # transformer sub-ablations: one block's attention half vs F3N half
+    blk = jax.tree.map(lambda x: x[0] if hasattr(x, "shape") else x,
+                       jax.tree.map(lambda *xs: jnp.stack(xs),
+                                    *params["transformer"]))
+
+    @jax.jit
+    def attn_half(p, tok):
+        b, t, h, w, c = tok.shape
+        wh, ww = e2fgvi.WINDOW_SIZE
+        from e2fgvi_tpu.models.tfocal import (_pool_level, _window_reverse,
+                                              layer_norm, window_attention)
+        xn = layer_norm(tok, p["norm1"]["g"], p["norm1"]["b"])
+        pooled = _pool_level(p, xn, (wh, ww))
+        a = window_attention(p["attn"], xn, pooled, e2fgvi.NUM_HEADS,
+                             (wh, ww), (wh // 2, ww // 2))
+        a = a.reshape(b * (h // wh) * (w // ww), t, wh, ww, c)
+        return tok + _window_reverse(a, wh, ww, b, t, h, w)
+
+    @jax.jit
+    def f3n_half(p, tok):
+        b, t, h, w, c = tok.shape
+        from e2fgvi_tpu.models.tfocal import fusion_feed_forward, layer_norm
+        y = layer_norm(tok, p["norm2"]["g"], p["norm2"]["b"])
+        y = fusion_feed_forward(p["mlp"], y.reshape(b, t * h * w, c), t,
+                                (HQ, WQ))
+        return tok + y.reshape(b, t, h, w, c)
+
     @jax.jit
     def sssc_stage(p, feat):
         b, t = feat.shape[:2]
@@ -122,6 +149,8 @@ def main():
         ("feat_prop_B", fp_stage, (params, feat, flows, flows),
          n_windows / B),
         ("transformer8_B", blocks_stage, (params, tokens), n_windows / B),
+        ("attn_half_1blk", attn_half, (blk, tokens), 8 * n_windows / B),
+        ("f3n_half_1blk", f3n_half, (blk, tokens), 8 * n_windows / B),
         ("softsplit_comp_B", sssc_stage, (params, feat), n_windows / B),
         ("decoder_local_B", dec_stage, (params, feat), n_windows / B),
         ("window_full_B", window_stage, (params, feat, flows, flows),

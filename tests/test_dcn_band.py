@@ -156,3 +156,43 @@ def test_scalar_prefetch_bounds_variant(rng):
         light=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_strip_bounds_row_gradient(rng):
+    """Per-strip skip bounds (strips > 1): a strong vertical offset
+    gradient by output row makes different 8-row strips need DISJOINT
+    band-block ranges — a wrong strip->bound mapping (or an off-by-one in
+    the strip slicing of src/py/acc) drops contributing rows and diverges
+    from the XLA reference. h=24 -> hp=24 -> 3 strips of 8."""
+    x, offset, mask, wgt, b = _inputs(rng, n=1, h=24, w=16, off_scale=0.0)
+    grad = np.linspace(-6.0, 6.0, 24, dtype=np.float32)  # per output row
+    offset[..., 0] += grad[None, :, None, None, None]
+    offset[..., 0] += rng.uniform(-0.5, 0.5,
+                                  offset.shape[:-1]).astype(np.float32)
+    offset[..., 1] += rng.uniform(-3, 3,
+                                  offset.shape[:-1]).astype(np.float32)
+    want = modulated_deform_conv2d(jnp.asarray(x), jnp.asarray(offset),
+                                   jnp.asarray(mask), jnp.asarray(wgt),
+                                   jnp.asarray(b))
+    got = modulated_deform_conv2d_banded(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+        jnp.asarray(wgt), jnp.asarray(b), band=24, interpret=True,
+        light=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_flow_warp_banded_row_gradient(rng):
+    """Strip bounds on the warp path: flow_y gradient across rows."""
+    from e2fgvi_tpu.kernels.dcn_band import flow_warp_banded
+    from e2fgvi_tpu.ops.warp import flow_warp
+    n, h, w, c = 1, 24, 16, 4
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    fy = np.linspace(-7.0, 7.0, h, dtype=np.float32)
+    flow = rng.uniform(-1, 1, (n, h, w, 2)).astype(np.float32)
+    flow[..., 1] += fy[None, :, None]
+    flow = jnp.asarray(flow)
+    want = flow_warp(x, flow)
+    got = flow_warp_banded(x, flow, band=24, interpret=True, light=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
