@@ -65,21 +65,39 @@ def read_frames_from_dir(path, size=None):
 
 
 def read_frames_from_video(path, size=None):
-    """Decode a video file. Requires an imageio ffmpeg/pyav backend."""
+    """Decode a video file.
+
+    Prefers OpenCV's VideoCapture — the reference's own mp4 path
+    (test.py:74-94, BGR frames converted to RGB PIL images) — and falls
+    back to an imageio ffmpeg/pyav backend when cv2 is unavailable."""
+    frames = None
     try:
-        import imageio
-        reader = imageio.get_reader(path)
-    except Exception as exc:  # pragma: no cover - environment-dependent
-        raise RuntimeError(
-            f"No video-decode backend available for {path!r} (imageio "
-            "needs ffmpeg or pyav). Extract the video to a frame directory "
-            "and pass that instead.") from exc
-    frames = []
-    for arr in reader:
-        img = Image.fromarray(arr[..., :3])
-        if size is not None:
-            img = img.resize(size)
-        frames.append(img)
+        import cv2
+        cap = cv2.VideoCapture(path)
+        frames = []
+        while True:
+            ok, arr = cap.read()
+            if not ok:
+                break
+            frames.append(Image.fromarray(cv2.cvtColor(arr,
+                                                       cv2.COLOR_BGR2RGB)))
+        cap.release()
+        if not frames:
+            frames = None  # cv2 present but couldn't decode -> try imageio
+    except ImportError:  # pragma: no cover - environment-dependent
+        pass
+    if frames is None:
+        try:
+            import imageio
+            reader = imageio.get_reader(path)
+            frames = [Image.fromarray(arr[..., :3]) for arr in reader]
+        except Exception as exc:  # pragma: no cover
+            raise RuntimeError(
+                f"No video-decode backend available for {path!r} (needs "
+                "cv2, or imageio with ffmpeg/pyav). Extract the video to a "
+                "frame directory and pass that instead.") from exc
+    if size is not None:
+        frames = [img.resize(size) for img in frames]
     return frames
 
 

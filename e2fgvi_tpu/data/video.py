@@ -189,6 +189,21 @@ def write_video(path, frames, fps=24):
     frames = [np.asarray(f, np.uint8) for f in frames]
     if path.endswith(".mp4"):
         try:
+            # the reference's own writer (test.py:191-196): cv2 mp4v
+            import cv2
+            h, w = frames[0].shape[:2]
+            wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                                 fps, (w, h))
+            if wr.isOpened():
+                for f in frames:
+                    wr.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+                wr.release()
+                if os.path.getsize(path) > 0:
+                    return path
+            wr.release()
+        except ImportError:
+            pass
+        try:
             import imageio
             with imageio.get_writer(path, fps=fps) as wr:
                 for f in frames:

@@ -107,18 +107,38 @@ def _mp4_boxes(buf, start, end):
     return out
 
 
-def test_mjpeg_mp4_writer_roundtrip(tmp_path, rng):
-    """write_video('.mp4') must produce a real ISO BMFF mp4 whose samples
-    decode back to the input frames (reference test.py:191-196 contract)."""
-    import io
-    import struct as _s
-    from PIL import Image
+def test_write_video_mp4_decodes_back(tmp_path, rng):
+    """write_video('.mp4') must produce an mp4 a video reader can decode
+    back to the input frames, whatever backend wrote it (cv2 mp4v — the
+    reference's writer, test.py:191-196 — or the pure-Python muxer)."""
+    from e2fgvi_tpu.data import readers
     yy, xx = np.mgrid[0:48, 0:64].astype(np.float32)
     frames = [np.stack([yy * 5 + i * 10, xx * 3, yy + xx], -1
                        ).clip(0, 255).astype(np.uint8) for i in range(5)]
     path = str(tmp_path / "out.mp4")
     written = video.write_video(path, frames, fps=10)
     assert written.endswith(".mp4")
+    back = readers.read_frames_from_video(written)
+    assert len(back) == 5
+    for i, img in enumerate(back):
+        arr = np.asarray(img)
+        assert arr.shape == (48, 64, 3)
+        assert np.abs(arr.astype(np.int32)
+                      - frames[i].astype(np.int32)).mean() < 30
+
+
+def test_mjpeg_mp4_writer_roundtrip(tmp_path, rng):
+    """The self-contained muxer must produce a real ISO BMFF mp4 whose
+    samples decode back to the input frames (the no-cv2/no-ffmpeg
+    fallback for the reference test.py:191-196 contract)."""
+    import io
+    import struct as _s
+    from PIL import Image
+    yy, xx = np.mgrid[0:48, 0:64].astype(np.float32)
+    frames = [np.stack([yy * 5 + i * 10, xx * 3, yy + xx], -1
+                       ).clip(0, 255).astype(np.uint8) for i in range(5)]
+    written = str(tmp_path / "out.mp4")
+    video.write_mjpeg_mp4(written, frames, fps=10)
     buf = open(written, "rb").read()
     top = _mp4_boxes(buf, 0, len(buf))
     assert set(top) == {"ftyp", "mdat", "moov"}
