@@ -104,11 +104,16 @@ def main(argv=None):
     n_videos = len(dataset)
     prefetch = 2
     pool = ThreadPoolExecutor(max_workers=max(1, args.num_workers))
+    # cross-video pipelining: two runner calls in flight, so video N+1's
+    # host->device upload rides the tunnel while video N's window
+    # programs keep the chip busy (the pipeline's __call__ is
+    # thread-compatible; the device stream serializes actual compute)
+    run_pool = ThreadPoolExecutor(max_workers=2)
     decode_futs = {vi: pool.submit(dataset.__getitem__, vi)
                    for vi in range(min(prefetch, n_videos))}
-    metric_futs = []
-    write_futs = []
-    for vi in range(n_videos):
+    run_futs = {}
+
+    def start_video(vi):
         frames, masks, name, orig = decode_futs.pop(vi).result()
         nxt = vi + prefetch
         if nxt < n_videos:
@@ -116,7 +121,18 @@ def main(argv=None):
         binary = masks.astype(np.uint8)
         # orig is the uint8 source of `frames` (datasets.TestDataset) —
         # hand it to the pipeline's uint8 fast path
-        comp = runner(orig, masks, orig, binary)
+        run_futs[vi] = (run_pool.submit(runner, orig, masks, orig, binary),
+                        name, orig)
+
+    for vi in range(min(2, n_videos)):
+        start_video(vi)
+    metric_futs = []
+    write_futs = []
+    for vi in range(n_videos):
+        fut, name, orig = run_futs.pop(vi)
+        comp = fut.result()
+        if vi + 2 < n_videos:
+            start_video(vi + 2)
         total_frames += len(comp)
 
         if use_vfid:
@@ -145,6 +161,7 @@ def main(argv=None):
         fut.result()   # surface write errors (disk full, bad path) —
         # shutdown(wait=True) alone swallows worker exceptions
     pool.shutdown(wait=True)
+    run_pool.shutdown(wait=True)
 
     avg_psnr = float(np.mean(all_psnr))
     avg_ssim = float(np.mean(all_ssim))

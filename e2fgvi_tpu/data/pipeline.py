@@ -207,33 +207,48 @@ class SlidingWindowInpainter:
                         jnp.float32))
             return m
 
-        def _assemble(preds_flat, pidx, wt):
+        def _assemble(preds_flat, mask_bits, idx_tab, wt_tab, geom):
             """Sparse assembly of the final composite. The composite equals
             `orig` everywhere outside the dilated mask (comp = blend*m +
             orig*(1-m)) and the host already holds `orig` — so only the
             masked pixels need the blend and only they cross the
             device->host link (5-10x fewer bytes than full frames on object
             masks). Blend weights are dyadic quarters over uint8 window
-            predictions, so the f16 result is exact.
+            predictions, so the f16 result is exact (and the uint8 cast for
+            the video-writing path commutes with the pull).
 
-            Gather-then-blend: per masked pixel, its k contributing window
-            predictions are gathered directly (flat indices into the
-            prediction tensor, computed on the host) and blended — nothing
-            frame-sized is ever materialized (the earlier blend-then-gather
-            form wrote a full (T, H, W, 3) f32 video to HBM first).
+            Gather-then-blend with DEVICE-side indexing: the per-pixel
+            gather indices are derived on device from the bit-packed mask
+            (already ~1MB/video on the link) + two (T, k) tables — the
+            earlier host-built (N, k) index/weight upload cost ~12MB/video
+            of h2d tunnel time. flatnonzero(size=bucket) enumerates masked
+            pixels in ascending order, matching the host's np.flatnonzero
+            used for the final scatter; fill rows past n_masked gather
+            garbage the host slices off.
 
-            pidx: (N, k) flat indices into preds_flat.reshape(-1, 3).
-            wt: (N, k) blend weights (zeros pad unused slots)."""
+            geom (static): (bucket, h, w, hp_i, wp_i, to_u8)."""
+            bucket, h_, w_, hp_i, wp_i, to_u8 = geom
+            bits = (mask_bits[:, None] >> jnp.arange(7, -1, -1,
+                                                     dtype=jnp.uint8)) & 1
+            idx = jnp.flatnonzero(bits.reshape(-1), size=bucket,
+                                  fill_value=0).astype(jnp.int32)
+            fidx = idx // (h_ * w_)
+            rem = idx % (h_ * w_)
+            pos = (rem // w_) * wp_i + rem % w_
+            pidx = jnp.take(idx_tab, fidx, axis=0) * (hp_i * wp_i) \
+                + pos[:, None]
+            wt = jnp.take(wt_tab, fidx, axis=0)
             flat = preds_flat.reshape(-1, preds_flat.shape[-1])
             pr = jnp.take(flat, pidx.reshape(-1), axis=0)
             pr = pr.reshape(*pidx.shape, -1).astype(jnp.float32)
-            return (pr * wt[..., None]).sum(axis=1).astype(jnp.float16)
+            out = (pr * wt[..., None]).sum(axis=1)
+            return out.astype(jnp.uint8 if to_u8 else jnp.float16)
 
         self._encode_jit = jax.jit(_encode_chunk, static_argnums=(3,))
         self._flow_jit = jax.jit(_flow_chunk)
         self._window_jit = jax.jit(_window_chunk, static_argnums=(9, 10))
         self._flow_bound_jit = jax.jit(_flow_y_bound)
-        self._assemble_jit = jax.jit(_assemble)
+        self._assemble_jit = jax.jit(_assemble, static_argnums=(4,))
         # the banded Pallas DCN sampler needs a Mosaic backend and a
         # quarter-res width that fits the 128-lane vreg. band_override
         # pins the band instead of measuring it from the video's flows —
@@ -505,50 +520,70 @@ class SlidingWindowInpainter:
                 idx_np[f, j] = r
                 wt_np[f, j] = wt
 
-        # masked-pixel indices (host side, from the same dilated mask used
-        # for compositing), padded up to a power-of-two bucket so the
-        # gather shape — and hence the compiled program — is shared across
-        # videos with similar mask areas
+        # masked-pixel count + scatter indices (host side, from the same
+        # dilated mask used for compositing); the per-pixel GATHER indices
+        # are computed on device (see _assemble) from the bit-packed mask
+        # — only the bucket size (power of two, so the compiled program is
+        # shared across videos with similar mask areas) and the tiny per-
+        # frame tables come from the host
         bm = np.asarray(binary_masks[..., 0] != 0)
         if bm.shape[1] != h or bm.shape[2] != w:
             bm = bm[:, :h, :w]
         mask_idx = np.flatnonzero(bm)
         n_masked = mask_idx.size
         bucket = 1 << max(12, int(np.ceil(np.log2(max(1, n_masked)))))
-        # per masked pixel: flat indices of its k contributing window
-        # predictions (rows are at the padded prediction resolution)
         hp_i, wp_i = outs[0].shape[1:3]
-        fidx = mask_idx // (h * w)
-        rem = mask_idx % (h * w)
-        pos = (rem // w) * wp_i + rem % w
-        pidx = np.zeros((bucket, idx_np.shape[1]), np.int32)
-        wts = np.zeros((bucket, idx_np.shape[1]), np.float32)
-        pidx[:n_masked] = idx_np[fidx] * (hp_i * wp_i) + pos[:, None]
-        wts[:n_masked] = wt_np[fidx]
+        # flat bit-pack over the whole (T*h*w) stream (byte-divisibility
+        # independent of h*w), zero-padded in T to the video-length bucket
+        # so per-length compiles are shared; padded frames contribute no
+        # set bits, so flatnonzero order matches the host's mask_idx
+        mask_bits = np.packbits(bm.reshape(-1))
+        pad_bytes = (t_bucket * h * w + 7) // 8 - mask_bits.size
+        if pad_bytes:
+            mask_bits = np.concatenate(
+                [mask_bits, np.zeros(pad_bytes, np.uint8)])
+        tab_pad = t_bucket - idx_np.shape[0]
+        if tab_pad:
+            idx_np = np.concatenate(
+                [idx_np, np.zeros((tab_pad, idx_np.shape[1]), np.int32)])
+            wt_np = np.concatenate(
+                [wt_np, np.zeros((tab_pad, wt_np.shape[1]), np.float32)])
         mark("mask_idx")
 
         preds_flat = jnp.concatenate(outs, axis=0)
-        pulled = np.asarray(self._assemble_jit(
-            preds_flat, jnp.asarray(pidx), jnp.asarray(wts)))
-        mark("assemble_pull")
-
-        # scatter the masked pixels into copies of the originals:
-        # comp = blend*mask + orig*(1-mask), reference test.py:168-179
+        to_u8 = self.out_dtype == np.uint8
+        assembled = self._assemble_jit(
+            preds_flat, jnp.asarray(mask_bits), jnp.asarray(idx_np),
+            jnp.asarray(wt_np), (bucket, h, w, hp_i, wp_i, to_u8))
+        # build the host output buffer WHILE the device still computes /
+        # the tunnel still streams: the 21MB originals copy is pure host
+        # work with no dependency on the pull
         if self.out_dtype == np.uint8:
             comp_np = orig_frames.copy()
         else:
             comp_np = orig_frames.astype(self.out_dtype)
+        pulled = np.asarray(assembled)
+        mark("assemble_pull")
+
+        # scatter the masked pixels into the copies of the originals:
+        # comp = blend*mask + orig*(1-mask), reference test.py:168-179
         comp_np.reshape(-1, comp_np.shape[-1])[mask_idx] = \
             pulled[:n_masked].astype(self.out_dtype)
         comp = [comp_np[i] for i in range(video_length)]
         mark("scatter")
-        self.last_marks = {}
+        last_marks = {}
         prev = marks[0][1]
         for name, tt in marks[1:]:
-            self.last_marks[name] = tt - prev
+            last_marks[name] = tt - prev
             prev = tt
+        # telemetry: single atomic assignment — __call__ is safe to run
+        # from concurrent host threads (cross-video pipelining overlaps
+        # video N+1's tunnel transfers with video N's device compute; the
+        # device stream serializes the actual programs), and last writer
+        # wins on these debug fields
+        self.last_marks = last_marks
         if _TIMING:
             print("[pipeline] " + " ".join(
-                f"{k}={1e3 * v:.0f}ms" for k, v in self.last_marks.items()),
+                f"{k}={1e3 * v:.0f}ms" for k, v in last_marks.items()),
                 flush=True)
         return comp

@@ -36,3 +36,14 @@ def setup(cache_dir: str | None = None) -> None:
         pass  # older jax without persistent cache knobs
     precision = os.environ.get("E2FGVI_MATMUL_PRECISION", "highest")
     jax.config.update("jax_default_matmul_precision", precision)
+    # honor JAX_PLATFORMS even when a PJRT plugin force-prepends itself
+    # (the axon plugin does): the env var alone is consulted before
+    # plugin registration, so re-pin via the config knob. Without this,
+    # JAX_PLATFORMS=cpu CLI runs still try the (possibly unreachable)
+    # tunnel-attached device and hang at init.
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass

@@ -104,6 +104,59 @@ def main():
         b = flow_warp_banded(feat, f2, band=BAND)
         return a, b, f2
 
+    @jax.jit
+    def dcn_sampler_only(x, offsets, mask):
+        """The Pallas sweep alone (sum over taps instead of the weight
+        einsum) — splits dcn_banded into kernel vs contraction cost."""
+        from e2fgvi_tpu.kernels import dcn_band as bl
+        n, h, wdt, cin = x.shape
+        g = offsets.shape[3]
+        cg = cin // g
+        k = offsets.shape[4]
+        kh = kw = 3
+        ho, wo = h, wdt
+        dy_lo = -(BAND // 2)
+        hp = -(-ho // 8) * 8
+        wp = bl.LANES
+        off = offsets.astype(jnp.float32)
+        ky = jnp.repeat(jnp.arange(kh, dtype=jnp.float32), kw)
+        kx = jnp.tile(jnp.arange(kw, dtype=jnp.float32), kh)
+        base_y = (jnp.arange(ho, dtype=jnp.float32)[:, None] - 1 + ky[None])
+        base_x = (jnp.arange(wo, dtype=jnp.float32)[:, None] - 1 + kx[None])
+        py = base_y[None, :, None, None, :] + off[..., 0]
+        px = base_x[None, None, :, None, :] + off[..., 1]
+
+        def pos_layout(pq):
+            pq = pq.transpose(0, 3, 4, 1, 2).reshape(n * g, k, ho, wo)
+            return jnp.pad(pq, ((0, 0), (0, 0), (0, hp - ho),
+                                (0, wp - wo)), constant_values=-1e4)
+
+        pyg, pxg = pos_layout(py), pos_layout(px)
+        mg = pos_layout(mask.astype(jnp.float32))
+        strips = bl._n_strips(hp)
+        sr = hp // strips
+        rel = off[..., 0] + (ky[None, None, None, None, :] - 1) - dy_lo
+        pad5 = ((0, 0), (0, hp - ho), (0, 0), (0, 0), (0, 0))
+        rel_min = jnp.pad(rel, pad5, constant_values=1e9).reshape(
+            n, strips, sr, wo, g, k).min(axis=(2, 3))
+        rel_max = jnp.pad(rel, pad5, constant_values=-1e9).reshape(
+            n, strips, sr, wo, g, k).max(axis=(2, 3))
+        row_lo = jnp.clip(jnp.floor(rel_min - 1), 0, BAND).astype(jnp.int32)
+        row_hi = jnp.clip(jnp.ceil(rel_max + 1) + 1, 0, BAND).astype(
+            jnp.int32)
+        row_hi = jnp.maximum(row_hi, row_lo)
+        row_lo = row_lo.transpose(0, 2, 3, 1).reshape(n * g, k, strips)
+        row_hi = row_hi.transpose(0, 2, 3, 1).reshape(n * g, k, strips)
+        xs = x.reshape(n, h, wdt, g, cg).transpose(0, 3, 4, 1, 2)
+        xs = xs.reshape(n * g, cg, h, wdt)
+        xs = jnp.pad(xs, ((0, 0), (0, 0),
+                          (-dy_lo, BAND + dy_lo + hp - h), (0, wp - wdt)))
+        sampler = bl._build_sampler(n * g, k, cg, hp, wp, BAND, dy_lo,
+                                    jnp.dtype(x.dtype).name, False,
+                                    light=False, strips=strips)
+        sampled = sampler(row_lo, row_hi, xs, pyg, pxg, mg)
+        return sampled.sum(axis=(1, 2))
+
     feat_cat = jnp.asarray(rng.standard_normal((B, H, W, 2 * C)), DTYPE)
     pieces = [
         ("warp3 (2 feat + 1 flow warp)", warp3, (feat, flow)),
@@ -112,6 +165,8 @@ def main():
          (p["deform"], cond, flow)),
         ("dcn_banded (sampler + einsum)", dcn_banded,
          (feat2, offsets, mask, p["deform"]["w"], p["deform"]["b"])),
+        ("dcn_sampler_only (tap-sum)", dcn_sampler_only,
+         (feat2, offsets, mask)),
         ("backbone (2 convs)", backbone, (p, feat_cat, feat)),
         ("full_step", full_step, (p, feat, feat2, flow)),
     ]
