@@ -88,3 +88,51 @@ def test_batch_padding_is_exact(hq_params, rng):
     b = r4(frames, masks, orig, binary)
     for x, y in zip(a, b):
         np.testing.assert_allclose(x, y, atol=1.0)
+
+
+def test_assemble_device_indexing_matches_host(hq_params):
+    """The device-side gather-index derivation (_assemble: bit-packed mask
+    -> flatnonzero -> per-pixel indices) must reproduce the host-built
+    index path it replaced, for both output dtypes, including bucket
+    padding, t_bucket zero-padded frames, and an empty mask."""
+    runner = SlidingWindowInpainter(hq_params, e2fgvi.generator_forward)
+    rng_l = np.random.default_rng(7)
+    V, h, w = 5, 16, 24
+    hp_i, wp_i = 16, 32
+    rows, kmax, t_bucket = 9, 3, 6
+    preds = rng_l.integers(0, 256, (rows, hp_i, wp_i, 3), np.uint8)
+    idx_tab = rng_l.integers(0, rows, (V, kmax)).astype(np.int32)
+    # the real blend's dyadic convex patterns (exact in f32/f16): each new
+    # overlapping window halves prior weights — see pipeline contrib build
+    patterns = ([1.0, 0.0, 0.0], [0.5, 0.5, 0.0], [0.25, 0.25, 0.5])
+    wt_tab = np.asarray([patterns[i % 3] for i in range(V)], np.float32)
+    for density in (0.0, 0.3, 1.0):
+        bm = rng_l.random((V, h, w)) < density
+        mask_idx = np.flatnonzero(bm)
+        n_masked = mask_idx.size
+        bucket = 1 << max(6, int(np.ceil(np.log2(max(1, n_masked)))))
+        # host reference (the replaced path)
+        fidx = mask_idx // (h * w)
+        rem = mask_idx % (h * w)
+        pos = (rem // w) * wp_i + rem % w
+        pidx = idx_tab[fidx] * (hp_i * wp_i) + pos[:, None]
+        wts = wt_tab[fidx]
+        flat = preds.reshape(-1, 3).astype(np.float32)
+        ref = (flat[pidx] * wts[..., None]).sum(1)
+        # device path, padded exactly as the pipeline pads
+        mask_bits = np.packbits(bm.reshape(-1))
+        pad = (t_bucket * h * w + 7) // 8 - mask_bits.size
+        mask_bits = np.concatenate([mask_bits, np.zeros(pad, np.uint8)])
+        idx_p = np.concatenate(
+            [idx_tab, np.zeros((t_bucket - V, kmax), np.int32)])
+        wt_p = np.concatenate(
+            [wt_tab, np.zeros((t_bucket - V, kmax), np.float32)])
+        for to_u8 in (True, False):
+            out = np.asarray(runner._assemble_jit(
+                jnp.asarray(preds), jnp.asarray(mask_bits),
+                jnp.asarray(idx_p), jnp.asarray(wt_p),
+                (bucket, h, w, hp_i, wp_i, to_u8)))[:n_masked]
+            want = (ref.astype(np.uint8) if to_u8
+                    else ref.astype(np.float16))
+            assert out.shape == want.shape
+            np.testing.assert_array_equal(out, want)
