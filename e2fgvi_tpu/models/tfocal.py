@@ -355,13 +355,20 @@ def _attention_core(q_win, k_all, v_all, bias_full, b):
       E2FGVI_ATTENTION=xla.
     """
     import os
-    if (os.environ.get("E2FGVI_ATTENTION", "flash") == "flash"
-            and jax.default_backend() != "cpu"
+    backend = os.environ.get("E2FGVI_ATTENTION", "flash")
+    if (jax.default_backend() != "cpu"
             and q_win.dtype in (jnp.bfloat16, jnp.float16)):
-        # 16-bit speed path only: the whole-key-axis blocks exceed the
+        # 16-bit speed paths only: the whole-key-axis blocks exceed the
         # scoped-VMEM budget at f32, and the f32 path is the parity path
-        # where the fused kernel buys little
-        return _attention_flash(q_win, k_all, v_all, bias_full, b)
+        # where the fused kernels buy little
+        if backend == "focal":
+            # geometry-specialized two-pass kernel (kernels/
+            # focal_attention.py): per-key bias rides as one broadcast
+            # add, logits stay in VMEM, no online-softmax rescaling
+            from e2fgvi_tpu.kernels.focal_attention import focal_attention
+            return focal_attention(q_win, k_all, v_all, bias_full)
+        if backend == "flash":
+            return _attention_flash(q_win, k_all, v_all, bias_full, b)
     return _attention_xla(q_win, k_all, v_all, bias_full, b)
 
 

@@ -226,3 +226,15 @@ def f3n_conv2(p, z):
 
 
 t("f3n_gelu+conv2", f3n_conv2, params, pix)
+
+# ---- geometry-specialized focal attention kernel --------------------------
+from e2fgvi_tpu.kernels.focal_attention import focal_attention  # noqa: E402
+
+t("attention_focal(core)", lambda q, k, v, bf: focal_attention(q, k, v, bf),
+  q_win, k_all, v_all, bias_full)
+
+os.environ["E2FGVI_ATTENTION"] = "focal"
+t("window_attention(focal)", attn_full, params, x, pooled)
+t("block_full(focal)", lambda p, z: tfocal.transformer_block(
+    p, z, OUT, HEADS, WIN, FL), params, x)
+del os.environ["E2FGVI_ATTENTION"]
