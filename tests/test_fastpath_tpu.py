@@ -39,7 +39,14 @@ def _video(rng, t, h, w):
     return frames_u8, masks, masks.astype(np.uint8)
 
 
-def test_bf16_flash_banded_matches_f32_xla():
+_REF_CACHE = {}
+
+
+def _f32_reference():
+    """f32 + XLA attention + XLA sampler output, computed once per session
+    (it is the slow path; every fast-path variant compares against it)."""
+    if "ref" in _REF_CACHE:
+        return _REF_CACHE["ref"]
     from e2fgvi_tpu.data.pipeline import SlidingWindowInpainter
     from e2fgvi_tpu.models import e2fgvi
 
@@ -62,17 +69,40 @@ def test_bf16_flash_banded_matches_f32_xla():
             params, e2fgvi.generator_forward, max_batch=2,
             dtype=jnp.float32, band_override=0, out_dtype=np.uint8)
         ref = slow(frames_u8, masks, frames_u8, binary)
-
-        os.environ["E2FGVI_ATTENTION"] = "flash"
-        fast = SlidingWindowInpainter(
-            params_bf16, e2fgvi.generator_forward, max_batch=2,
-            dtype=jnp.bfloat16, out_dtype=np.uint8)
-        got = fast(frames_u8, masks, frames_u8, binary)
     finally:
         if old_attn is None:
             os.environ.pop("E2FGVI_ATTENTION", None)
         else:
             os.environ["E2FGVI_ATTENTION"] = old_attn
+    _REF_CACHE["ref"] = (ref, (frames_u8, masks, binary), params_bf16)
+    return _REF_CACHE["ref"]
+
+
+@pytest.mark.parametrize("attn,f3n", [
+    ("flash", "conv"),   # shipping default serving path
+    ("focal", "conv"),   # geometry-specialized attention kernel (opt-in)
+    ("flash", "phase"),  # phase-layout F3N (opt-in)
+])
+def test_bf16_fastpath_matches_f32_xla(attn, f3n):
+    from e2fgvi_tpu.data.pipeline import SlidingWindowInpainter
+    from e2fgvi_tpu.models import e2fgvi
+
+    ref, (frames_u8, masks, binary), params_bf16 = _f32_reference()
+
+    old = {k: os.environ.get(k) for k in ("E2FGVI_ATTENTION", "E2FGVI_F3N")}
+    try:
+        os.environ["E2FGVI_ATTENTION"] = attn
+        os.environ["E2FGVI_F3N"] = f3n
+        fast = SlidingWindowInpainter(
+            params_bf16, e2fgvi.generator_forward, max_batch=2,
+            dtype=jnp.bfloat16, out_dtype=np.uint8)
+        got = fast(frames_u8, masks, frames_u8, binary)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
 
     assert fast._banded_dcn, "banded DCN gate should be on for this test"
     # bf16 has ~8 mantissa bits: on the [0,255] output scale, per-pixel
