@@ -21,6 +21,22 @@ bounded by |flow_y| + max_residue_magnitude (10, tanh-bounded) + 1 tap,
 so `band_for_flow_bound` turns a per-video flow bound into a band; the
 caller falls back to the XLA path when the band would exceed `MAX_BAND`
 or the feature map is wider than the 128-lane vreg.
+
+Why the 3x3 weight contraction stays OUTSIDE the kernel (in XLA): sampling
+must run in a (rows=sublanes, x=lanes) layout — the lane-dim dynamic
+gather and the banded row sweep both require it — while an MXU matmul
+over the (group, tap, channel) contraction dim needs the pixel axis
+flattened to (H*W, K*CG), i.e. a sublane+lane-merging relayout that
+Mosaic cannot express as a no-op (it redistributes every (8, 128) tile).
+Doing the contraction as in-layout plane-FMAs instead would put
+G*K*CG*Cout plane combinations on the VPU (~27 GFMA per propagation
+step — two orders over the einsum's MXU cost). So the kernel writes
+sampled taps in the contraction-ready (N, G*K*CG, Ho*Wo) flattening
+(no XLA relayout on read — measured: the transposed alternative
+materializes a 9.1x-padded 3.17 GB copy) and one XLA einsum applies the
+reordered weight; its HBM round-trip is ~0.4 GB/step at full batch,
+~1.5 ms of the ~40 ms step. The kernel's own band sweep is where the
+time goes, which the per-strip row bounds attack directly.
 """
 
 import functools
