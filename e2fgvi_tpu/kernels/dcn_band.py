@@ -119,7 +119,7 @@ def band_for_warp_bound(max_abs_flow_y: float) -> int | None:
 
 def _sampler_kernel(lo_ref, hi_ref, src_ref, py_ref, px_ref, m_ref,
                     out_ref, acc_ref, *, band, cg, hp, wp, dy_lo, dtype,
-                    dynamic_bounds, strips=1):
+                    dynamic_bounds, strips=1, k=1):
     py = py_ref[0, 0]
     px = px_ref[0, 0]
     x0 = jnp.clip(jnp.floor(px), 0, wp - 2).astype(jnp.int32)
@@ -151,8 +151,15 @@ def _sampler_kernel(lo_ref, hi_ref, src_ref, py_ref, px_ref, m_ref,
     # the band sweep runs per strip on (hp/strips, wp) sub-tiles.
     # strips == 1 reproduces the whole-tile behavior exactly.
     if dynamic_bounds:
+        # the bounds ride as a FLAT 1-D SMEM array indexed by one computed
+        # scalar: a 3-D lo_ref[i, t, s] load with multiple dynamic indices
+        # crashes the TPU compile helper (tpu_compile_helper exit 1,
+        # observed 2026-08-18 on libtpu behind the axon terminal; the same
+        # kernel compiled fine with a single dynamic index) — flat
+        # indexing is equivalent and sidesteps the lowering bug
         i = pl.program_id(0)
         t = pl.program_id(1)
+        flat = (i * k + t) * strips
     sh = hp // strips
 
     for c in range(cg):
@@ -169,8 +176,8 @@ def _sampler_kernel(lo_ref, hi_ref, src_ref, py_ref, px_ref, m_ref,
             wx0_s, wx1_s = wx0, wx1
             rows_s = rows
         if dynamic_bounds:
-            lo_blk = lo_ref[i, t, s] // 8
-            hi_blk = (hi_ref[i, t, s] + 7) // 8
+            lo_blk = lo_ref[flat + s] // 8
+            hi_blk = (hi_ref[flat + s] + 7) // 8
         for bi in range(band // 8):
 
             def blk(bi=bi, py_s=py_s, x0_s=x0_s, x1_s=x1_s, wx0_s=wx0_s,
@@ -213,7 +220,7 @@ def _build_sampler(ng, k, cg, hp, wp, band, dy_lo, dtype_name, interpret,
     kern = functools.partial(_sampler_kernel, band=band, cg=cg, hp=hp,
                              wp=wp, dy_lo=dy_lo, dtype=dtype,
                              dynamic_bounds=not light,
-                             strips=strips if not light else 1)
+                             strips=strips if not light else 1, k=k)
     gdt = jnp.float32 if dtype == jnp.bfloat16 else dtype
     scratch = [pltpu.VMEM((cg, hp, wp), gdt)]
     if light:
@@ -245,9 +252,11 @@ def _build_sampler(ng, k, cg, hp, wp, band, dy_lo, dtype_name, interpret,
             interpret=bool(interpret),
         )
 
-    # TPU: per-(batch*group, tap) row bounds ride as scalar-prefetch args
-    # (SMEM), indexed by program_id in-kernel
-    return pl.pallas_call(
+    # TPU: per-(batch*group, tap, strip) row bounds ride as scalar-prefetch
+    # args (SMEM), FLATTENED to 1-D and indexed by one computed scalar
+    # in-kernel (see _sampler_kernel: multi-dynamic-index SMEM loads crash
+    # the compile helper)
+    call = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -269,6 +278,11 @@ def _build_sampler(ng, k, cg, hp, wp, band, dy_lo, dtype_name, interpret,
         out_shape=jax.ShapeDtypeStruct((ng, k, cg, hp, wp), dtype),
         interpret=bool(interpret),
     )
+
+    def dispatch(lo, hi, xs, pyg, pxg, mg):
+        return call(lo.reshape(-1), hi.reshape(-1), xs, pyg, pxg, mg)
+
+    return dispatch
 
 
 def flow_warp_banded(x, flow, *, band=32, interpret=False, light=None):
