@@ -270,6 +270,21 @@ def window_attention(params, x, pooled, num_heads, window_size, expand_size,
         kp = jnp.pad(pq[1], pad_p)         # (B, heads, T, nWh+2p, nWw+2p, d)
         vp = jnp.pad(pq[2], pad_p)
 
+    # fused backend (TPU serving default): ONE static gather into a
+    # (B*heads, T, nWin, S_pad, hd) layout + a Pallas kernel whose block
+    # index maps select each window's keys directly — the replicated
+    # (B*nWin, heads, Nk, hd) k/v tensors never exist in HBM
+    # (kernels/fused_attention.py; r03 profile: their assembly alone cost
+    # 35.6 ms/block, more than the attention core)
+    import os
+    backend = os.environ.get("E2FGVI_ATTENTION", "fused")
+    if (backend == "fused" and pooled is not None and (eh or ew)
+            and q.dtype in (jnp.bfloat16, jnp.float16)
+            and jax.default_backend() != "cpu"):
+        return _window_attention_fused(
+            params, q, k, v, pq, scale, window_size, expand_size,
+            frame_valid)
+
     # key assembly = static slice-concat of the wrap-padded per-head maps:
     # own window + the rolled key multiset as rectangles (_rolled_rects;
     # torch.roll wrap-around = the "wrap" padding) + the pooled unfold
@@ -335,6 +350,75 @@ def window_attention(params, x, pooled, num_heads, window_size, expand_size,
 
     out = _attention_core(q_win, k_all, v_all, bias_full, b)
     out = out.transpose(0, 2, 1, 3).reshape(b * nwin, t * wh * ww, c)
+    return linear(out, params["proj"]["w"], params["proj"]["b"])
+
+
+def _window_attention_fused(params, q, k, v, pq, scale, window_size,
+                            expand_size, frame_valid, interpret=False):
+    """Gather-layout focal attention (kernels/fused_attention.py).
+
+    q/k/v: (B, heads, T, H, W, hd) per-head maps; pq: (3, B, heads, T,
+    nWh, nWw, hd) pooled qkv (index 0 unused). Produces the same result
+    as the slice-assembly + flash path — identical key multiset (the
+    static `_key_gather_idx` table enumerates own/rolled/pooled sources
+    with torch.roll wrap semantics), permutation-invariant softmax, and
+    the reference's additive -100 pooled-boundary mask — with ~3x less
+    HBM traffic (compact maps instead of replicated windows)."""
+    b, heads, t, h, w, hd = q.shape
+    wh, ww = window_size
+    eh, ew = expand_size
+    nwy, nwx = h // wh, w // ww
+    nwin = nwy * nwx
+    nwh, nww = pq.shape[4], pq.shape[5]
+    pk = (2 * (wh // 2) + 1, 2 * (ww // 2) + 1)
+    pp = (pk[0] // 2, pk[1] // 2)
+
+    idx, n_fine = _key_gather_idx(h, w, wh, ww, eh, ew,
+                                  (nwh, nww, pk[0], pk[1], pp[0], pp[1]))
+    s_keys = idx.shape[1]
+    # pad the per-frame key count to the bf16 sublane tile (16) so the
+    # kernel's (T, S_pad, hd) -> (T*S_pad, hd) view is layout-free; pad
+    # slots read the zero row and carry a -1e9 bias
+    s_pad = -(-s_keys // 16) * 16
+    zero_slot = h * w + nwh * nww
+    idx_pad = np.full((nwin, s_pad), zero_slot, np.int32)
+    idx_pad[:, :s_keys] = idx
+
+    def gather(z, zp):
+        src = jnp.concatenate([
+            z.reshape(b * heads, t, h * w, hd),
+            zp.reshape(b * heads, t, nwh * nww, hd),
+            jnp.zeros((b * heads, t, 1, hd), z.dtype)], axis=2)
+        g = jnp.take(src, jnp.asarray(idx_pad.reshape(-1)), axis=2)
+        return g.reshape(b * heads, t, nwin, s_pad, hd)
+
+    k_gath = gather(k, pq[1])
+    v_gath = gather(v, pq[2])
+
+    nq = t * wh * ww
+    nq_pad = -(-nq // 16) * 16
+    qw = (q * scale).reshape(b, heads, t, nwy, wh, nwx, ww, hd)
+    qw = qw.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+        b * heads * nwin, nq, hd)
+    qw = jnp.pad(qw, ((0, 0), (0, nq_pad - nq), (0, 0)))
+
+    # per-key bias: 0 on fine keys, the reference's -100 outside the
+    # pooled grid (tfocal_transformer.py:300-316), -1e9 on padding slots
+    # and padding frames (exp underflows to exactly 0 in f32)
+    bias_win = np.full((nwin, s_pad), -1e9, np.float32)
+    bias_win[:, :s_keys] = 0.0
+    bias_win[:, n_fine:s_keys] = _pooled_key_mask(nwh, nww, pk[0], pk[1],
+                                                  *pp)
+    bias = jnp.broadcast_to(jnp.asarray(bias_win)[None, :, None, :],
+                            (b, nwin, t, s_pad))
+    if frame_valid is not None:
+        bias = jnp.where(~frame_valid[:, None, :, None], -1e9, bias)
+    bias = bias.reshape(b, nwin, t * s_pad)
+
+    from e2fgvi_tpu.kernels.fused_attention import fused_focal_attention
+    out = fused_focal_attention(qw, k_gath, v_gath, bias, b, heads,
+                                interpret)
+    out = out[:, :nq, :]
     return linear(out, params["proj"]["w"], params["proj"]["b"])
 
 

@@ -79,9 +79,8 @@ def _f32_reference():
 
 
 @pytest.mark.parametrize("attn,f3n", [
-    ("flash", "conv"),   # shipping default serving path
-    ("focal", "conv"),   # geometry-specialized attention kernel (opt-in)
-    ("flash", "phase"),  # phase-layout F3N (opt-in)
+    ("fused", "conv"),   # shipping default serving path (r04)
+    ("flash", "conv"),   # stock flash attention (fallback)
 ])
 def test_bf16_fastpath_matches_f32_xla(attn, f3n):
     from e2fgvi_tpu.data.pipeline import SlidingWindowInpainter
