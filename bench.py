@@ -107,8 +107,11 @@ def main():
     # link transfers overlap). The reference's 0.12 s/frame is likewise
     # an amortized per-frame number over a video loop (test.py).
     # E2FGVI_BENCH_PIPELINE=1 restores the serial per-video latency run.
-    reps = 3
-    depth = 1 if os.environ.get("E2FGVI_BENCH_PIPELINE") == "1" else 2
+    depth = (1 if os.environ.get("E2FGVI_BENCH_PIPELINE") == "1"
+             else int(os.environ.get("E2FGVI_BENCH_DEPTH", "3")))
+    # enough reps that the pipeline's fill/drain edges (one un-overlapped
+    # upload + one un-overlapped pull) amortize into the steady state
+    reps = int(os.environ.get("E2FGVI_BENCH_REPS", str(2 * depth)))
     t0 = time.time()
     if depth == 1:
         for _ in range(reps):

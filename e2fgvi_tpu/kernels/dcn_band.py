@@ -119,7 +119,7 @@ def band_for_warp_bound(max_abs_flow_y: float) -> int | None:
 
 def _sampler_kernel(lo_ref, hi_ref, src_ref, py_ref, px_ref, m_ref,
                     out_ref, acc_ref, *, band, cg, hp, wp, dy_lo, dtype,
-                    dynamic_bounds, strips=1, k=1):
+                    dynamic_bounds, strips=1, k=1, packed=False):
     py = py_ref[0, 0]
     px = px_ref[0, 0]
     x0 = jnp.clip(jnp.floor(px), 0, wp - 2).astype(jnp.int32)
@@ -178,6 +178,13 @@ def _sampler_kernel(lo_ref, hi_ref, src_ref, py_ref, px_ref, m_ref,
         if dynamic_bounds:
             lo_blk = lo_ref[flat + s] // 8
             hi_blk = (hi_ref[flat + s] + 7) // 8
+        # 8-row BLOCK granularity for the pl.when skip: per-block
+        # accumulation stays in registers (one VMEM read-modify-write of
+        # the strip slab per block). A row-granular pl.when was A/B'd and
+        # LOST (21.6 -> 41.8 ms full dcn_banded, exp_step_breakdown
+        # 2026-08-19): values cannot escape a pl.when region, so per-row
+        # predication forces a per-row VMEM RMW that costs twice what the
+        # skipped rows save.
         for bi in range(band // 8):
 
             def blk(bi=bi, py_s=py_s, x0_s=x0_s, x1_s=x1_s, wx0_s=wx0_s,
@@ -193,13 +200,32 @@ def _sampler_kernel(lo_ref, hi_ref, src_ref, py_ref, px_ref, m_ref,
                     acc = acc_ref[c, r0:r1]
                     for r in range(8):
                         sm = src_ref[0, c, r0 + bi * 8 + r:
-                                     r0 + bi * 8 + r + (r1 - r0),
-                                     :].astype(gdt)
-                        g0 = jnp.take_along_axis(sm, x0_s, axis=1,
-                                                 mode="promise_in_bounds")
-                        g1 = jnp.take_along_axis(sm, x1_s, axis=1,
-                                                 mode="promise_in_bounds")
+                                     r0 + bi * 8 + r + (r1 - r0), :]
                         w0, w1 = wps[r]
+                        if packed:
+                            # int32 lanes pack (bf16 src[y,x] << 16 |
+                            # bf16 src[y,x+1]): ONE gather per (c, row),
+                            # unpacked by two bit-ops — the f32 values and
+                            # FMA order are identical to the two-gather
+                            # form (bf16 -> f32 upcast is a pure bit
+                            # shift), so the result is bit-exact
+                            # (A/B: 34.1 -> 28.9 ms on the full-sweep
+                            # tile, exp_dcn_inner_r04)
+                            g = jnp.take_along_axis(
+                                sm, x0_s, axis=1,
+                                mode="promise_in_bounds")
+                            g0 = jax.lax.bitcast_convert_type(
+                                g & jnp.int32(-65536), jnp.float32)
+                            g1 = jax.lax.bitcast_convert_type(
+                                g << 16, jnp.float32)
+                        else:
+                            sm = sm.astype(gdt)
+                            g0 = jnp.take_along_axis(
+                                sm, x0_s, axis=1,
+                                mode="promise_in_bounds")
+                            g1 = jnp.take_along_axis(
+                                sm, x1_s, axis=1,
+                                mode="promise_in_bounds")
                         acc = acc + g0 * w0 + g1 * w1
                     acc_ref[c, r0:r1] = acc
 
@@ -212,15 +238,27 @@ def _sampler_kernel(lo_ref, hi_ref, src_ref, py_ref, px_ref, m_ref,
         out_ref[0, 0, c] = acc_ref[c].astype(dtype) * m
 
 
+def _pack_pairs(xs):
+    """(..., W) bf16 -> int32 lanes packing (bf16 xs[..., x] << 16 |
+    bf16 xs[..., x+1]) with a zero column appended — the packed-gather
+    kernel's source format (one lane gather yields both bilinear-x
+    corners; bf16 -> f32 upcast is a pure bit shift, so unpacking
+    reproduces the two-gather arithmetic bit-exactly)."""
+    u = jax.lax.bitcast_convert_type(xs, jnp.uint16).astype(jnp.int32)
+    nxt = jnp.concatenate([u[..., 1:], jnp.zeros_like(u[..., :1])], -1)
+    return (u << 16) | nxt
+
+
 @functools.lru_cache(maxsize=None)
 def _build_sampler(ng, k, cg, hp, wp, band, dy_lo, dtype_name, interpret,
-                   light=False, strips=1):
+                   light=False, strips=1, packed=False):
     dtype = jnp.dtype(dtype_name).type
     hs = hp + band
     kern = functools.partial(_sampler_kernel, band=band, cg=cg, hp=hp,
                              wp=wp, dy_lo=dy_lo, dtype=dtype,
                              dynamic_bounds=not light,
-                             strips=strips if not light else 1, k=k)
+                             strips=strips if not light else 1, k=k,
+                             packed=packed)
     gdt = jnp.float32 if dtype == jnp.bfloat16 else dtype
     scratch = [pltpu.VMEM((cg, hp, wp), gdt)]
     if light:
@@ -352,9 +390,12 @@ def flow_warp_banded(x, flow, *, band=32, interpret=False, light=None):
 
     if light is None:
         light = bool(interpret) or jax.default_backend() == "cpu"
+    packed = dtype == jnp.bfloat16
+    if packed:
+        xs = _pack_pairs(xs)
     sampler = _build_sampler(n * g, 1, cg, hp, wp, band, dy_lo,
                              jnp.dtype(dtype).name, bool(interpret),
-                             light=light, strips=strips)
+                             light=light, strips=strips, packed=packed)
     if light:
         sampled = sampler(xs, pyg, pxg, ones)
     else:
@@ -444,9 +485,12 @@ def modulated_deform_conv2d_banded(x, offset, mask, w, b=None, *,
     # slow on dynamic trip counts and scalar-prefetch grids
     if light is None:
         light = bool(interpret) or jax.default_backend() == "cpu"
+    packed = dtype == jnp.bfloat16
+    if packed:
+        xs = _pack_pairs(xs)
     sampler = _build_sampler(n * g, k, cg, hp, wp, band, dy_lo,
                              jnp.dtype(dtype).name, bool(interpret),
-                             light=light, strips=strips)
+                             light=light, strips=strips, packed=packed)
     if light:
         sampled = sampler(xs, pyg, pxg, mg)
     else:

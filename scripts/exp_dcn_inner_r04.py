@@ -196,3 +196,108 @@ def cbatch_kernel(src_ref, py_ref, px_ref, m_ref, out_ref, acc_ref):
 
 run("cbatch (CG*HP,WP) gathers", cbatch_kernel,
     [pltpu.VMEM((CG, HP, WP), jnp.float32)])
+
+
+def packed_kernel(psrc_ref, py_ref, px_ref, m_ref, out_ref, acc_ref):
+    """ONE int32 gather per (c, row): lanes pack (bf16 src[y,x] << 16 |
+    bf16 src[y,x+1]); unpack is two bit-ops + bitcasts. Arithmetic is
+    bit-identical to `base` (same f32 values, same FMA order)."""
+    pyv = py_ref[0, 0]
+    pxv = px_ref[0, 0]
+    x0 = jnp.clip(jnp.floor(pxv), 0, WP - 2).astype(jnp.int32)
+    x0f = x0.astype(jnp.float32)
+    wx0 = jax.nn.relu(1.0 - jnp.abs(pxv - x0f))
+    wx1 = jax.nn.relu(1.0 - jnp.abs(pxv - (x0f + 1.0)))
+    rows = jax.lax.broadcasted_iota(jnp.int32, (HP, WP), 0).astype(
+        jnp.float32)
+    m = m_ref[0, 0].astype(DT)
+    hi_mask = jnp.int32(-65536)
+    for c in range(CG):
+        acc_ref[c] = jnp.zeros((HP, WP), jnp.float32)
+    for bi in range(BAND // 8):
+        base = float(DY_LO + bi * 8)
+        wps = []
+        for r in range(8):
+            wy = jax.nn.relu(1.0 - jnp.abs(pyv - (rows + (base + r))))
+            wps.append(((wy * wx0), (wy * wx1)))
+        for c in range(CG):
+            acc = acc_ref[c]
+            for r in range(8):
+                sm = psrc_ref[0, c, bi * 8 + r: bi * 8 + r + HP, :]
+                g = jnp.take_along_axis(sm, x0, axis=1,
+                                        mode="promise_in_bounds")
+                g0 = jax.lax.bitcast_convert_type(g & hi_mask, jnp.float32)
+                g1 = jax.lax.bitcast_convert_type(g << 16, jnp.float32)
+                w0, w1 = wps[r]
+                acc = acc + g0 * w0 + g1 * w1
+            acc_ref[c] = acc
+    for c in range(CG):
+        out_ref[0, 0, c] = acc_ref[c].astype(DT) * m
+
+
+def _pack(src_bf16):
+    u = jax.lax.bitcast_convert_type(src_bf16, jnp.uint16).astype(jnp.int32)
+    nxt = jnp.concatenate([u[..., 1:], jnp.zeros_like(u[..., :1])], -1)
+    return (u << 16) | nxt
+
+
+def run_packed():
+    psrc = jax.jit(_pack)(src)
+    call = pl.pallas_call(
+        packed_kernel,
+        grid=(NG, K),
+        in_specs=[
+            pl.BlockSpec((1, CG, HS, WP), lambda i, t: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, HP, WP), lambda i, t: (i, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, HP, WP), lambda i, t: (i, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, HP, WP), lambda i, t: (i, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, CG, HP, WP),
+                               lambda i, t: (i, t, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NG, K, CG, HP, WP), DT),
+        scratch_shapes=[pltpu.VMEM((CG, HP, WP), jnp.float32)],
+    )
+    try:
+        with jax.default_matmul_precision("default"):
+            dt = time_stage(jax.jit(lambda *a: call(*a)), psrc, py, px,
+                            mask, iters=4)
+        print(f"{'packed int32 single-gather':34s} {dt * 1e3:8.2f} ms",
+              flush=True)
+        # exactness vs base
+        base_call = pl.pallas_call(
+            base_kernel,
+            grid=(NG, K),
+            in_specs=[
+                pl.BlockSpec((1, CG, HS, WP), lambda i, t: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, HP, WP), lambda i, t: (i, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, HP, WP), lambda i, t: (i, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, HP, WP), lambda i, t: (i, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, CG, HP, WP),
+                                   lambda i, t: (i, t, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((NG, K, CG, HP, WP), DT),
+            scratch_shapes=[pltpu.VMEM((CG, HP, WP), jnp.float32)],
+        )
+        with jax.default_matmul_precision("default"):
+            a = np.asarray(jax.jit(lambda *x: base_call(*x))(
+                src, py, px, mask)[:2])
+            b = np.asarray(jax.jit(lambda *x: call(*x))(
+                psrc, py, px, mask)[:2])
+        print(f"  exact match vs base: {bool((a == b).all())}", flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"{'packed int32 single-gather':34s} FAILED "
+              f"{type(e).__name__}: "
+              + " | ".join(str(e).splitlines()[:1]), flush=True)
+
+
+run_packed()

@@ -196,3 +196,35 @@ def test_flow_warp_banded_row_gradient(rng):
     got = flow_warp_banded(x, flow, band=24, interpret=True, light=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_packed_bf16_gather_paths(rng):
+    """bf16 inputs route through the packed int32 single-gather source
+    format (_pack_pairs); its unpacked f32 corner values are bit-identical
+    to the two-gather form, so the banded bf16 result must track the XLA
+    bf16 reference as closely as the f32 path tracks its reference (only
+    accumulation-order noise at bf16 scale). Covers DCN and both warp
+    variants."""
+    from e2fgvi_tpu.kernels.dcn_band import flow_warp_banded
+    from e2fgvi_tpu.ops.warp import flow_warp
+    x, offset, mask, wgt, b = _inputs(rng)
+    want = modulated_deform_conv2d(
+        jnp.asarray(x, jnp.bfloat16), jnp.asarray(offset),
+        jnp.asarray(mask), jnp.asarray(wgt, jnp.bfloat16),
+        jnp.asarray(b, jnp.bfloat16))
+    got = modulated_deform_conv2d_banded(
+        jnp.asarray(x, jnp.bfloat16), jnp.asarray(offset),
+        jnp.asarray(mask), jnp.asarray(wgt, jnp.bfloat16),
+        jnp.asarray(b, jnp.bfloat16), band=32, interpret=True, light=False)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=3e-2, atol=5e-2)
+    xw = jnp.asarray(rng.standard_normal((1, 8, 16, 4)), jnp.bfloat16)
+    flow = jnp.asarray(rng.uniform(-3, 3, (1, 8, 16, 2)), jnp.float32)
+    want_w = flow_warp(xw, flow)
+    for light in (True, False):
+        got_w = flow_warp_banded(xw, flow, band=16, interpret=True,
+                                 light=light)
+        np.testing.assert_allclose(np.asarray(got_w, np.float32),
+                                   np.asarray(want_w, np.float32),
+                                   rtol=3e-2, atol=5e-2)
