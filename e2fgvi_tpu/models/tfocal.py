@@ -441,18 +441,12 @@ def _attention_core(q_win, k_all, v_all, bias_full, b):
     import os
     backend = os.environ.get("E2FGVI_ATTENTION", "flash")
     if (jax.default_backend() != "cpu"
-            and q_win.dtype in (jnp.bfloat16, jnp.float16)):
-        # 16-bit speed paths only: the whole-key-axis blocks exceed the
+            and q_win.dtype in (jnp.bfloat16, jnp.float16)
+            and backend != "xla"):
+        # 16-bit speed path only: the whole-key-axis blocks exceed the
         # scoped-VMEM budget at f32, and the f32 path is the parity path
-        # where the fused kernels buy little
-        if backend == "focal":
-            # geometry-specialized two-pass kernel (kernels/
-            # focal_attention.py): per-key bias rides as one broadcast
-            # add, logits stay in VMEM, no online-softmax rescaling
-            from e2fgvi_tpu.kernels.focal_attention import focal_attention
-            return focal_attention(q_win, k_all, v_all, bias_full)
-        if backend == "flash":
-            return _attention_flash(q_win, k_all, v_all, bias_full, b)
+        # where the kernel buys little
+        return _attention_flash(q_win, k_all, v_all, bias_full, b)
     return _attention_xla(q_win, k_all, v_all, bias_full, b)
 
 
@@ -540,8 +534,6 @@ def fusion_feed_forward(params, x, t, output_size):
     """
     import os
     form = os.environ.get("E2FGVI_F3N", "conv")
-    if form == "phase":
-        return _fusion_feed_forward_phase(params, x, t, output_size)
     if form == "conv":
         return _fusion_feed_forward_conv(params, x, t, output_size)
     b, n, c = x.shape
@@ -625,129 +617,6 @@ def _fusion_feed_forward_conv(params, x, t, output_size):
     w2 = params["fc2"]["w"].reshape(kh, kw, cc, c).astype(zg.dtype)
     y = jax.lax.conv_general_dilated(
         zg, w2, window_strides=(sh, sw), padding=((ph, ph), (pw, pw)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return (y + params["fc2"]["b"].astype(y.dtype)).reshape(b, n, c)
-
-
-@lru_cache(maxsize=8)
-def _phase_kernels_meta(output_size):
-    """Static geometry for the phase-layout F3N (see
-    _fusion_feed_forward_phase): scatter maps that place the fc1/fc2
-    patch weights into dense 3x3 token-grid conv kernels, plus the
-    fold-count / validity maps in phase layout."""
-    hh, ww = output_size
-    kh, kw = T2T_KERNEL
-    sh, sw = T2T_STRIDE
-    ph, pw = T2T_PADDING
-    lh, lw = token_grid(output_size)
-    # conv1 scatter (same arithmetic as _fusion_feed_forward_conv):
-    # output pixel y = sh*ty + p draws from token ty+dy at tap
-    # ky = sh*dy - p + ph
-    dlo = -(-ph // sh)
-    dhi = (sh - 1 - ph + kh - 1) // sh
-    dxlo = -(-pw // sw)
-    dxhi = (sw - 1 - pw + kw - 1) // sw
-    scat1 = []       # (dy_i, dx_i, p, q, ky, kx)
-    for p in range(sh):
-        for q in range(sw):
-            for dy in range(-dlo, dhi + 1):
-                ky = sh * dy - p + ph
-                if not 0 <= ky < kh:
-                    continue
-                for dx in range(-dxlo, dxhi + 1):
-                    kx = sw * dx - q + pw
-                    if not 0 <= kx < kw:
-                        continue
-                    scat1.append((dy + dlo, dx + dxlo, p, q, ky, kx))
-    # conv2 scatter: output token ty reads pixel y = sh*(ty+dy) + p at
-    # tap ky = sh*dy + p + ph
-    d2lo = d2hi = 1  # |sh*dy + p + ph| in [0, kh) with p in [0, sh)
-    scat2 = []       # (dy_i, dx_i, p, q, ky, kx)
-    for dy in range(-d2lo, d2hi + 1):
-        for p in range(sh):
-            ky = sh * dy + p + ph
-            if not 0 <= ky < kh:
-                continue
-            for dx in range(-d2lo, d2hi + 1):
-                for q in range(sw):
-                    kx = sw * dx + q + pw
-                    if not 0 <= kx < kw:
-                        continue
-                    scat2.append((dy + d2lo, dx + d2lo, p, q, ky, kx))
-    return (lh, lw, dlo, dhi, dxlo, dxhi, tuple(scat1), tuple(scat2))
-
-
-def _fusion_feed_forward_phase(params, x, t, output_size):
-    """Phase-layout F3N: the conv-form's depth-to-space (after fc1+fold)
-    and the space-to-depth implicit in the strided unfold+fc2 CANCEL —
-    conv1's raw output (bt, lh, lw, sh*sw*cc), whose channels are the
-    sh*sw pixel phases, is exactly the space-to-depth layout conv2
-    needs. So the whole F3N runs as two dense 3x3 convolutions on the
-    (lh, lw) token grid with the renorm/gelu elementwise in between:
-    no 123MB d2s/s2d relayouts, no 7x7 stride-3 conv lowering.
-
-    Exact: same arithmetic as fusion_feed_forward's literal chain
-    (fc1 -> fold -> renorm -> unfold -> gelu -> fc2, reference
-    tfocal_transformer.py:75-98) — trimmed pixel positions (lh*sh > hh)
-    are zeroed, matching the reference conv padding; validated
-    elementwise in tests/test_tfocal.py."""
-    hh, ww = output_size
-    kh, kw = T2T_KERNEL
-    sh, sw = T2T_STRIDE
-    b, n, c = x.shape
-    (lh, lw, dlo, dhi, dxlo, dxhi, scat1,
-     scat2) = _phase_kernels_meta(tuple(output_size))
-    bt = b * (n // (lh * lw))
-    cc = params["fc1"]["w"].shape[-1] // (kh * kw)
-
-    xt = x.reshape(bt, lh, lw, c)
-    w1 = params["fc1"]["w"].reshape(c, kh, kw, cc)
-    k1 = jnp.zeros((dlo + dhi + 1, dxlo + dxhi + 1, c, sh, sw, cc),
-                   x.dtype)
-    for (dyi, dxi, p, q, ky, kx) in scat1:
-        # transposed conv (fold of fc1) correlates with the FLIPPED patch
-        # kernel — same flip as the conv form's k1
-        k1 = k1.at[dyi, dxi, :, p, q, :].set(
-            w1[:, kh - 1 - ky, kw - 1 - kx].astype(x.dtype))
-    k1 = k1.reshape(dlo + dhi + 1, dxlo + dxhi + 1, c, sh * sw * cc)
-    z = jax.lax.conv_general_dilated(
-        xt, k1, window_strides=(1, 1), padding=((dlo, dhi), (dxlo, dxhi)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    # (bt, lh, lw, P) with P = (p, q, cc) phases — pixel (sh*a+p, sw*b+q)
-
-    # fold bias + overlap renorm + trim mask, all as static phase maps
-    from e2fgvi_tpu.ops.patches import fold, fold_counts
-    bpatch = jnp.broadcast_to(
-        params["fc1"]["b"].reshape(1, 1, 1, kh, kw, cc),
-        (1, lh, lw, kh, kw, cc)).astype(jnp.float32)
-    foldb = fold(bpatch, output_size, T2T_KERNEL, T2T_STRIDE, T2T_PADDING)
-    cnt = fold_counts(output_size, T2T_KERNEL, T2T_STRIDE, T2T_PADDING,
-                      dtype=jnp.float32)
-    inv = jnp.where(cnt > 0, 1.0 / cnt, 0.0)[None]        # (1, hh, ww, 1)
-    badd = (foldb * inv)                                  # (1, hh, ww, cc)
-    valid = jnp.ones((1, hh, ww, 1), jnp.float32)
-
-    def to_phase(m, ch):
-        mp = jnp.pad(m, ((0, 0), (0, lh * sh - hh), (0, lw * sw - ww),
-                         (0, 0)))
-        mp = mp.reshape(1, lh, sh, lw, sw, ch).transpose(0, 1, 3, 2, 4, 5)
-        return mp.reshape(1, lh, lw, sh * sw * ch)
-
-    inv_p = jnp.repeat(to_phase(inv, 1), cc, axis=-1)
-    badd_p = to_phase(badd, cc)
-    val_p = jnp.repeat(to_phase(valid, 1), cc, axis=-1)
-    # same dtype staging as the conv form: renorm in f32, gelu in the
-    # compute dtype
-    zr = (z.astype(jnp.float32) * inv_p + badd_p).astype(x.dtype)
-    zg = gelu(zr) * val_p.astype(x.dtype)
-
-    w2 = params["fc2"]["w"].reshape(kh, kw, cc, c)
-    k2 = jnp.zeros((3, 3, sh, sw, cc, c), x.dtype)
-    for (dyi, dxi, p, q, ky, kx) in scat2:
-        k2 = k2.at[dyi, dxi, p, q].set(w2[ky, kx].astype(x.dtype))
-    k2 = k2.reshape(3, 3, sh * sw * cc, c)
-    y = jax.lax.conv_general_dilated(
-        zg, k2, window_strides=(1, 1), padding=((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return (y + params["fc2"]["b"].astype(y.dtype)).reshape(b, n, c)
 

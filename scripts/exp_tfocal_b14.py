@@ -226,26 +226,3 @@ def f3n_conv2(p, z):
 
 
 t("f3n_gelu+conv2", f3n_conv2, params, pix)
-
-# ---- geometry-specialized focal attention kernel --------------------------
-from e2fgvi_tpu.kernels.focal_attention import focal_attention  # noqa: E402
-
-t("attention_focal(core)", lambda q, k, v, bf: focal_attention(q, k, v, bf),
-  q_win, k_all, v_all, bias_full)
-
-os.environ["E2FGVI_ATTENTION"] = "focal"
-t("window_attention(focal)", attn_full, params, x, pooled)
-t("block_full(focal)", lambda p, z: tfocal.transformer_block(
-    p, z, OUT, HEADS, WIN, FL), params, x)
-del os.environ["E2FGVI_ATTENTION"]
-
-os.environ["E2FGVI_F3N"] = "phase"
-t("f3n_phase(full)", lambda p, z: tfocal.fusion_feed_forward(
-    p["mlp"], z, T, OUT), params, tok)
-os.environ["E2FGVI_ATTENTION"] = "focal"
-t("block_full(focal+phase)", lambda p, z: tfocal.transformer_block(
-    p, z, OUT, HEADS, WIN, FL), params, x)
-t("stack8(focal+phase)", lambda ps, z: tfocal.transformer_stack(
-    ps, z, OUT, HEADS, WIN, FL), stacked8, x)
-del os.environ["E2FGVI_F3N"]
-del os.environ["E2FGVI_ATTENTION"]

@@ -180,7 +180,7 @@ def main():
         "est_device_fps": budget["est_device_fps"]}), flush=True)
 
     os.makedirs("results", exist_ok=True)
-    out = os.environ.get("E2FGVI_PROFILE_OUT", "results/profile_r02.json")
+    out = os.environ.get("E2FGVI_PROFILE_OUT", "results/profile_r04.json")
     with open(out, "w") as f:
         json.dump(budget, f, indent=1)
     print(f"wrote {out}", flush=True)

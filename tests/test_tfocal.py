@@ -263,33 +263,3 @@ def test_f3n_conv_equals_gemm(rng):
     finally:
         del os.environ["E2FGVI_F3N"]
     np.testing.assert_allclose(conv, gemm, rtol=2e-5, atol=2e-5)
-
-
-def test_f3n_phase_equals_gemm(rng):
-    """The phase-layout F3N (two dense 3x3 token-grid convs; the d2s/s2d
-    relayouts cancel) must match the literal GEMM+fold+unfold chain,
-    including on a trimmed geometry where lh*stride > H (the validity
-    mask must reproduce the conv zero-padding)."""
-    import os
-    dim = 32
-    params = {
-        "fc1": {"w": jnp.asarray(rng.standard_normal((dim, D_FF)
-                                                     ).astype(np.float32) * 0.1),
-                "b": jnp.asarray(rng.standard_normal(D_FF).astype(np.float32))},
-        "fc2": {"w": jnp.asarray(rng.standard_normal((D_FF, dim)
-                                                     ).astype(np.float32) * 0.1),
-                "b": jnp.asarray(rng.standard_normal(dim).astype(np.float32))},
-    }
-    for out_size in (OUT_SIZE, (16, 22)):   # (16,22): lh*3 > 16, trim path
-        lh, lw = tfocal.token_grid(out_size)
-        x = jnp.asarray(rng.standard_normal((B, T * lh * lw, dim),
-                                            dtype=np.float32))
-        phase = np.asarray(tfocal._fusion_feed_forward_phase(
-            params, x, T, out_size))
-        os.environ["E2FGVI_F3N"] = "gemm"
-        try:
-            gemm = np.asarray(tfocal.fusion_feed_forward(params, x, T,
-                                                         out_size))
-        finally:
-            del os.environ["E2FGVI_F3N"]
-        np.testing.assert_allclose(phase, gemm, rtol=3e-5, atol=3e-5)
