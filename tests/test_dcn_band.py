@@ -73,6 +73,7 @@ def test_banded_zeros_outside_image(rng):
                                rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_feat_prop_banded_matches_default(rng):
     """bidirectional_propagation with dcn_band == without (flows small)."""
     from e2fgvi_tpu.models import feat_prop
@@ -90,6 +91,7 @@ def test_feat_prop_banded_matches_default(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_flow_warp_banded_matches_xla(rng):
     """Banded warp (the K=1 sampler reuse) vs ops.warp.flow_warp — both
     the light full-sweep and the production scalar-prefetch variant,

@@ -34,6 +34,7 @@ def mini_davis(tmp_path_factory):
     return str(root)
 
 
+@pytest.mark.slow
 def test_evaluate_cli_smoke(mini_davis, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     from e2fgvi_tpu.cli import evaluate

@@ -13,6 +13,7 @@ def gen_params():
     return e2fgvi.init_params(jax.random.PRNGKey(0), variant="base")
 
 
+@pytest.mark.slow
 def test_generator_forward_shapes(gen_params, rng):
     b, t, lt = 1, 4, 3
     h, w = 240, 432

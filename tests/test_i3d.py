@@ -2,6 +2,7 @@
 MaxPool3d units built fresh from the published I3D definition)."""
 
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 import jax
@@ -67,6 +68,7 @@ def _torch_i3d(params, video):
     return x.mean(dim=(2, 3, 4)).numpy()
 
 
+@pytest.mark.slow
 def test_i3d_features_parity(rng):
     params = i3d.init_params(jax.random.PRNGKey(0))
     video = rng.uniform(0, 1, (1, 16, 64, 64, 3)).astype(np.float32)

@@ -26,6 +26,7 @@ def _make_video(rng, t, h, w):
     return frames, masks, frames_u8, binary
 
 
+@pytest.mark.slow
 def test_sliding_window_matches_reference_loop(hq_params, rng):
     t_video, h, w = 13, 120, 216
     frames, masks, orig, binary = _make_video(rng, t_video, h, w)
@@ -61,6 +62,7 @@ def test_sliding_window_matches_reference_loop(hq_params, rng):
         assert (diff > 1.0).mean() < 2e-3, diff.max()
 
 
+@pytest.mark.slow
 def test_uint8_input_fast_path_is_exact(hq_params, rng):
     """Passing the uint8 source frames directly (the CLI/bench fast path)
     must match passing the float frames derived from them — the pipeline
@@ -75,6 +77,7 @@ def test_uint8_input_fast_path_is_exact(hq_params, rng):
         np.testing.assert_array_equal(x, y)
 
 
+@pytest.mark.slow
 def test_batch_padding_is_exact(hq_params, rng):
     """A window computed alone must equal the same window inside a padded
     batch (batch entries are independent)."""

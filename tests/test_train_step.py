@@ -31,6 +31,7 @@ def _batch(rng, b):
     return frames, masks
 
 
+@pytest.mark.slow
 def test_train_step_updates_and_logs(tiny_state, rng):
     state, tx_g, tx_d = tiny_state
     step = jax.jit(step_lib.make_train_step(tx_g, tx_d, 5, LOSSES))
@@ -53,6 +54,7 @@ def test_train_step_updates_and_logs(tiny_state, rng):
     assert np.isfinite(float(logs2["gen_loss"]))
 
 
+@pytest.mark.slow
 def test_train_step_sharded_over_mesh(tiny_state, rng):
     state, tx_g, tx_d = tiny_state
     mesh = meshlib.make_mesh(data=4, model=2)
@@ -72,6 +74,7 @@ def test_train_step_sharded_over_mesh(tiny_state, rng):
         assert int(s1.step) == 1
 
 
+@pytest.mark.slow
 def test_no_dis_mode(tiny_state, rng):
     """no_dis=1 must work (the reference crashes on missing optimD)."""
     state, tx_g, tx_d = tiny_state

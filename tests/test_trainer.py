@@ -37,6 +37,7 @@ def mini_train_root(tmp_path_factory):
     return str(root), name
 
 
+@pytest.mark.slow
 def test_trainer_two_steps_and_resume(mini_train_root, tmp_path):
     root, name = mini_train_root
     config = {

@@ -30,6 +30,7 @@ def setup():
     return params, feat_all, flows_f, flows_b
 
 
+@pytest.mark.slow
 def test_padded_window_matches_unpadded(setup):
     params, feat_all, flows_f, flows_b = setup
     # window: neighbors [0..3] (nv=4), refs [5] -> true geometry T=5, L=4
@@ -67,6 +68,7 @@ def test_padded_window_matches_unpadded(setup):
     np.testing.assert_allclose(got[:, :nv], want, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_full_window_with_masks_is_identity(setup):
     """A window that needs no padding must be bit-identical through the
     masked path (valid == L, all frames valid)."""
