@@ -375,8 +375,13 @@ def flow_warp_banded(x, flow, *, band=32, interpret=False, light=None):
                        constant_values=-1e9)
     rel_min = relp_min.reshape(n, strips, sr, w).min(axis=(2, 3))  # (N, S)
     rel_max = relp_max.reshape(n, strips, sr, w).max(axis=(2, 3))
-    row_lo = jnp.clip(jnp.floor(rel_min - 1), 0, band).astype(jnp.int32)
-    row_hi = jnp.clip(jnp.ceil(rel_max + 1) + 1, 0, band).astype(jnp.int32)
+    # exact corner bounds: a band row r contributes iff |py - r| < 1 for
+    # some sample, and the needed rows of sample py are exactly floor(py)
+    # (weight 1-frac, or 1 when py is integral) and floor(py)+1 (weight
+    # frac, harmlessly 0 when integral) — so [floor(min), floor(max)+2)
+    # covers every contributing row with zero slack
+    row_lo = jnp.clip(jnp.floor(rel_min), 0, band).astype(jnp.int32)
+    row_hi = jnp.clip(jnp.floor(rel_max) + 2, 0, band).astype(jnp.int32)
     row_hi = jnp.maximum(row_hi, row_lo)
     row_lo = jnp.broadcast_to(row_lo[:, None, None, :],
                               (n, g, 1, strips)).reshape(n * g, 1, strips)
@@ -403,6 +408,56 @@ def flow_warp_banded(x, flow, *, band=32, interpret=False, light=None):
     # (N*G, 1, CG, HP, WP) -> (N, H, W, C)
     sampled = sampled.reshape(n, g, cg, hp, wp)[..., :h, :w]
     return sampled.transpose(0, 3, 4, 1, 2).reshape(n, h, w, c)
+
+
+def _sample_and_contract(x, pyg, pxg, mg, row_lo, row_hi, w, b, *,
+                         n, g, k, cg, ho, wo, hp, wp, band, dy_lo,
+                         interpret, light):
+    """Shared tail of the banded DCNv2 variants: pad/pack the source,
+    run the Pallas sweep, contract with the (reordered) conv weight."""
+    kh, kw = w.shape[0], w.shape[1]
+    cout = w.shape[3]
+    h, wdt = x.shape[1], x.shape[2]
+    dtype = x.dtype
+    # src: (N,H,W,Cin) -> (N*G, CG, HS, WP), rows shifted so padded row r
+    # holds real row r + dy_lo (zero outside)
+    xs = x.reshape(n, h, wdt, g, cg).transpose(0, 3, 4, 1, 2)
+    xs = xs.reshape(n * g, cg, h, wdt)
+    xs = jnp.pad(xs, ((0, 0), (0, 0),
+                      (-dy_lo, band + dy_lo + hp - h), (0, wp - wdt)))
+
+    # the static full-sweep variant also serves CPU backends (e.g. tests
+    # under force_tpu_interpret_mode): the interpreter is pathologically
+    # slow on dynamic trip counts and scalar-prefetch grids
+    if light is None:
+        light = bool(interpret) or jax.default_backend() == "cpu"
+    packed = dtype == jnp.bfloat16
+    if packed:
+        xs = _pack_pairs(xs)
+    sampler = _build_sampler(n * g, k, cg, hp, wp, band, dy_lo,
+                             jnp.dtype(dtype).name, bool(interpret),
+                             light=light, strips=_n_strips(hp),
+                             packed=packed)
+    if light:
+        sampled = sampler(xs, pyg, pxg, mg)
+    else:
+        sampled = sampler(row_lo, row_hi, xs, pyg, pxg, mg)
+    # -> (N*G, K, CG, HP, WP)
+
+    # contract in the sampler's native (N, G, K, CG, H, W) layout — a
+    # transpose to (N, P, K*Cin) materializes a tensor whose (9, 16) minor
+    # dims pad 9.1x under TPU tiling (measured 3.17G/copy at B=14, an HBM
+    # OOM); instead flatten (G, K, CG) as the contraction dim and reorder
+    # the (small) weight to match
+    sampled = sampled.reshape(n, g, k, cg, hp, wp)[..., :ho, :wo]
+    sampled = sampled.reshape(n, g * k * cg, ho * wo).astype(dtype)
+    wk = w.reshape(kh, kw, g, cg, cout).transpose(2, 0, 1, 3, 4).reshape(
+        g * k * cg, cout)
+    out = jnp.einsum("nip,io->npo", sampled, wk,
+                     preferred_element_type=jnp.float32)
+    if b is not None:
+        out = out + b
+    return out.reshape(n, ho, wo, cout).astype(dtype)
 
 
 def modulated_deform_conv2d_banded(x, offset, mask, w, b=None, *,
@@ -467,47 +522,115 @@ def modulated_deform_conv2d_banded(x, offset, mask, w, b=None, *,
     relp_max = jnp.pad(rel, pad5, constant_values=-1e9)
     rel_min = relp_min.reshape(n, strips, sr, wo, g, k).min(axis=(2, 3))
     rel_max = relp_max.reshape(n, strips, sr, wo, g, k).max(axis=(2, 3))
-    row_lo = jnp.clip(jnp.floor(rel_min - 1), 0, band).astype(jnp.int32)
-    row_hi = jnp.clip(jnp.ceil(rel_max + 1) + 1, 0, band).astype(jnp.int32)
+    # exact corner bounds — see flow_warp_banded above for the derivation
+    row_lo = jnp.clip(jnp.floor(rel_min), 0, band).astype(jnp.int32)
+    row_hi = jnp.clip(jnp.floor(rel_max) + 2, 0, band).astype(jnp.int32)
     row_hi = jnp.maximum(row_hi, row_lo)                # (N, S, G, K)
     row_lo = row_lo.transpose(0, 2, 3, 1).reshape(n * g, k, strips)
     row_hi = row_hi.transpose(0, 2, 3, 1).reshape(n * g, k, strips)
 
-    # src: (N,H,W,Cin) -> (N*G, CG, HS, WP), rows shifted so padded row r
-    # holds real row r + dy_lo (zero outside)
-    xs = x.reshape(n, h, wdt, g, cg).transpose(0, 3, 4, 1, 2)
-    xs = xs.reshape(n * g, cg, h, wdt)
-    xs = jnp.pad(xs, ((0, 0), (0, 0),
-                      (-dy_lo, band + dy_lo + hp - h), (0, wp - wdt)))
+    return _sample_and_contract(
+        x, pyg, pxg, mg, row_lo, row_hi, w, b, n=n, g=g, k=k, cg=cg,
+        ho=ho, wo=wo, hp=hp, wp=wp, band=band, dy_lo=dy_lo,
+        interpret=interpret, light=light)
 
-    # the static full-sweep variant also serves CPU backends (e.g. tests
-    # under force_tpu_interpret_mode): the interpreter is pathologically
-    # slow on dynamic trip counts and scalar-prefetch grids
-    if light is None:
-        light = bool(interpret) or jax.default_backend() == "cpu"
-    packed = dtype == jnp.bfloat16
-    if packed:
-        xs = _pack_pairs(xs)
-    sampler = _build_sampler(n * g, k, cg, hp, wp, band, dy_lo,
-                             jnp.dtype(dtype).name, bool(interpret),
-                             light=light, strips=strips, packed=packed)
-    if light:
-        sampled = sampler(xs, pyg, pxg, mg)
-    else:
-        sampled = sampler(row_lo, row_hi, xs, pyg, pxg, mg)
-    # -> (N*G, K, CG, HP, WP)
 
-    # contract in the sampler's native (N, G, K, CG, H, W) layout — a
-    # transpose to (N, P, K*Cin) materializes a tensor whose (9, 16) minor
-    # dims pad 9.1x under TPU tiling (measured 3.17G/copy at B=14, an HBM
-    # OOM); instead flatten (G, K, CG) as the contraction dim and reorder
-    # the (small) weight to match
-    sampled = sampled.reshape(n, g, k, cg, hp, wp)[..., :ho, :wo]
-    sampled = sampled.reshape(n, g * k * cg, ho * wo).astype(dtype)
-    wk = w.reshape(kh, kw, g, cg, cout).transpose(2, 0, 1, 3, 4).reshape(
-        g * k * cg, cout)
-    out = jnp.einsum("nip,io->npo", sampled, wk,
-                     preferred_element_type=jnp.float32)
-    if b is not None:
-        out = out + b
-    return out.reshape(n, ho, wo, cout).astype(dtype)
+def modulated_deform_conv2d_banded_head(x, head, flow_1, flow_2, w, b=None,
+                                        *, band=32, padding=1,
+                                        max_residue=10.0, interpret=False,
+                                        light=None):
+    """Banded DCNv2 with the offset head FUSED into the position prelude.
+
+    Numerically identical to
+        offsets, mask = feat_prop._offsets_from_head(head, flow_1, flow_2)
+        modulated_deform_conv2d_banded(x, offsets, mask, w, b, band=band)
+    (same f32 add order res+flow then +base; the mask rides as bf16, which
+    the sampler kernel cast it to anyway), but never materializes the
+    (N,Ho,Wo,G,K,{2|1}) offset/mask tensors: producing them only to
+    transpose into the kernel's (N*G, K, HP, WP) layout measured
+    6.3 + 3.5 ms/step of the propagation budget (exp_offsets_r04) — here
+    tanh/sigmoid/flow-add fuse straight into the single transposing pass,
+    and the per-strip row bounds reduce from the same values.
+
+    head: (N, Ho, Wo, 3*K*G) raw offset-head output, channel c of the
+    offset part = (g*K + tap)*2 + {dy,dx} and the mask part follows
+    (mmcv layout, reference feat_prop.py:37-53). flow_1/flow_2:
+    (N, Ho, Wo, 2) (dx, dy)-last; o1 groups [0, G/2) ride flow_1, o2
+    groups flow_2.
+
+    Returns (out, bound) with bound = max |off_y| — the measured quantity
+    the band contract is checked against (data/pipeline.py stage 2.5).
+    """
+    n, h, wdt, cin = x.shape
+    kh, kw, wcin, cout = w.shape
+    k = kh * kw
+    g = head.shape[-1] // (3 * k)
+    cg = cin // g
+    ho = h + 2 * padding - kh + 1
+    wo = wdt + 2 * padding - kw + 1
+    assert (ho, wo) == head.shape[1:3] and wcin == cin
+    assert wo <= LANES - 1, (
+        f"banded DCN requires W <= {LANES - 1} lanes, got {wo}")
+    dy_lo = -(band // 2)
+    hp = -(-ho // 8) * 8
+    wp = LANES
+
+    res = (max_residue
+           * jnp.tanh(head[..., : 2 * k * g].astype(jnp.float32)))
+    res = res.reshape(n, ho, wo, g, k, 2)
+    res = res.transpose(0, 3, 4, 1, 2, 5)            # (N, G, K, Ho, Wo, 2)
+    half = g // 2
+    # flow channels are (dx, dy); DCN offsets are (dy, dx)
+
+    def with_flow(comp):
+        f1 = flow_1[..., 1 - comp].astype(jnp.float32)
+        f2 = flow_2[..., 1 - comp].astype(jnp.float32)
+        fl = jnp.concatenate([
+            jnp.broadcast_to(f1[:, None], (n, half, ho, wo)),
+            jnp.broadcast_to(f2[:, None], (n, g - half, ho, wo))], axis=1)
+        return res[..., comp] + fl[:, :, None]       # (N, G, K, Ho, Wo)
+
+    off_y = with_flow(0)
+    off_x = with_flow(1)
+    bound = jnp.abs(off_y).max()
+
+    ky = jnp.repeat(jnp.arange(kh, dtype=jnp.float32), kw)
+    kx = jnp.tile(jnp.arange(kw, dtype=jnp.float32), kh)
+    base_y = (jnp.arange(ho, dtype=jnp.float32) - padding)[:, None] \
+        + jnp.zeros((1, wo), jnp.float32)
+    base_x = (jnp.arange(wo, dtype=jnp.float32) - padding)[None, :] \
+        + jnp.zeros((ho, 1), jnp.float32)
+    py = base_y[None, None, None] + ky[None, None, :, None, None] + off_y
+    px = base_x[None, None, None] + kx[None, None, :, None, None] + off_x
+
+    def pos_layout(p):
+        p = p.reshape(n * g, k, ho, wo)
+        return jnp.pad(p, ((0, 0), (0, 0), (0, hp - ho), (0, wp - wo)),
+                       constant_values=-1e4)
+
+    pyg = pos_layout(py)
+    pxg = pos_layout(px)
+    mask = jax.nn.sigmoid(head[..., 2 * k * g:].astype(jnp.float32))
+    mask = mask.reshape(n, ho, wo, g, k).transpose(0, 3, 4, 1, 2)
+    mg = pos_layout(mask.astype(x.dtype))
+
+    # per-strip row bounds straight from the transposed off_y (same
+    # derivation as modulated_deform_conv2d_banded; padded strips get
+    # lo == hi -> swept nothing)
+    strips = _n_strips(hp)
+    sr = hp // strips
+    rel = off_y + (ky[None, None, :, None, None] - padding) - dy_lo
+    pad5 = ((0, 0), (0, 0), (0, 0), (0, hp - ho), (0, 0))
+    rel_min = jnp.pad(rel, pad5, constant_values=1e9).reshape(
+        n * g, k, strips, sr, wo).min(axis=(3, 4))
+    rel_max = jnp.pad(rel, pad5, constant_values=-1e9).reshape(
+        n * g, k, strips, sr, wo).max(axis=(3, 4))
+    row_lo = jnp.clip(jnp.floor(rel_min), 0, band).astype(jnp.int32)
+    row_hi = jnp.clip(jnp.floor(rel_max) + 2, 0, band).astype(jnp.int32)
+    row_hi = jnp.maximum(row_hi, row_lo)           # (N*G, K, S)
+
+    out = _sample_and_contract(
+        x, pyg, pxg, mg, row_lo, row_hi, w, b, n=n, g=g, k=k, cg=cg,
+        ho=ho, wo=wo, hp=hp, wp=wp, band=band, dy_lo=dy_lo,
+        interpret=interpret, light=light)
+    return out, bound

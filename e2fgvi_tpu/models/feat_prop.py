@@ -117,14 +117,20 @@ def _deform_align(p, x, cond, flow_1, flow_2, dcn_band=None):
         feat = conv2d(feat, cp["w"], cp["b"], padding=1)
         if i < len(p["conv_offset"]) - 1:
             feat = leaky_relu(feat, 0.1)
+    if dcn_band is not None:
+        # head-fused variant: tanh/sigmoid/flow-add fuse into the single
+        # transposing pass that builds the sampler's position layout —
+        # the (N,H,W,G,9,{2|1}) offset/mask tensors never materialize
+        # (they cost ~10 ms/step of relayout, exp_offsets_r04); bit
+        # -identical to _offsets_from_head + the banded sampler
+        from e2fgvi_tpu.kernels.dcn_band import (
+            modulated_deform_conv2d_banded_head)
+        return modulated_deform_conv2d_banded_head(
+            x, feat, flow_1, flow_2, p["w"], p["b"], band=dcn_band,
+            max_residue=MAX_RESIDUE_MAGNITUDE)
     offsets, mask = _offsets_from_head(feat, flow_1, flow_2)
     bound = jnp.abs(offsets[..., 0]).max()
-    if dcn_band is not None:
-        from e2fgvi_tpu.kernels.dcn_band import modulated_deform_conv2d_banded
-        out = modulated_deform_conv2d_banded(x, offsets, mask, p["w"],
-                                             p["b"], band=dcn_band)
-    else:
-        out = modulated_deform_conv2d(x, offsets, mask, p["w"], p["b"])
+    out = modulated_deform_conv2d(x, offsets, mask, p["w"], p["b"])
     return out, bound
 
 

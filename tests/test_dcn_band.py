@@ -230,3 +230,68 @@ def test_packed_bf16_gather_paths(rng):
         np.testing.assert_allclose(np.asarray(got_w, np.float32),
                                    np.asarray(want_w, np.float32),
                                    rtol=3e-2, atol=5e-2)
+
+
+def test_head_fused_matches_split_form(rng):
+    """modulated_deform_conv2d_banded_head (tanh/sigmoid/flow-add fused
+    into the position prelude) vs _offsets_from_head + the banded sampler
+    — the exactness the serving path relies on (feat_prop._deform_align
+    banded branch)."""
+    from e2fgvi_tpu.kernels.dcn_band import (
+        modulated_deform_conv2d_banded_head)
+    from e2fgvi_tpu.models import feat_prop as fp
+
+    n, h, w = 1, 12, 16
+    g, k = 4, 9
+    cin, cout = 8, 4
+    x = jnp.asarray(rng.standard_normal((n, h, w, cin)), jnp.float32)
+    head = jnp.asarray(rng.standard_normal((n, h, w, 3 * k * g)) * 0.3,
+                       jnp.float32)
+    f1 = jnp.asarray(rng.standard_normal((n, h, w, 2)) * 2, jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((n, h, w, 2)) * 2, jnp.float32)
+    wgt = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.2,
+                      jnp.float32)
+    b = jnp.asarray(rng.standard_normal((cout,)), jnp.float32)
+
+    group_backup = fp.DEFORM_GROUPS
+    fp.DEFORM_GROUPS = g
+    try:
+        offsets, mask = fp._offsets_from_head(head, f1, f2)
+    finally:
+        fp.DEFORM_GROUPS = group_backup
+    want = modulated_deform_conv2d_banded(
+        x, offsets.astype(jnp.float32), mask.astype(jnp.float32), wgt, b,
+        band=32, interpret=True)
+    want_bound = float(jnp.abs(offsets[..., 0]).max())
+
+    got, bound = modulated_deform_conv2d_banded_head(
+        x, head, f1, f2, wgt, b, band=32, max_residue=10.0,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+    assert abs(float(bound) - want_bound) < 1e-6
+
+
+def test_head_fused_production_bounds(rng):
+    """The head-fused variant's per-strip bounds path (light=False) in
+    interpret mode — the exact code the TPU runs."""
+    from e2fgvi_tpu.kernels.dcn_band import (
+        modulated_deform_conv2d_banded_head)
+
+    n, h, w = 1, 16, 20
+    g, k = 2, 9
+    cin, cout = 4, 4
+    x = jnp.asarray(rng.standard_normal((n, h, w, cin)), jnp.float32)
+    head = jnp.asarray(rng.standard_normal((n, h, w, 3 * k * g)) * 0.3,
+                       jnp.float32)
+    f1 = jnp.asarray(rng.standard_normal((n, h, w, 2)) * 2, jnp.float32)
+    f2 = jnp.zeros((n, h, w, 2), jnp.float32)
+    wgt = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.2,
+                      jnp.float32)
+
+    light, _ = modulated_deform_conv2d_banded_head(
+        x, head, f1, f2, wgt, None, band=32, interpret=True, light=True)
+    prod, _ = modulated_deform_conv2d_banded_head(
+        x, head, f1, f2, wgt, None, band=32, interpret=True, light=False)
+    np.testing.assert_allclose(np.asarray(prod), np.asarray(light),
+                               rtol=1e-6, atol=1e-6)
