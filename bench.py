@@ -29,9 +29,18 @@ BASELINE_SEC_PER_FRAME = 0.12  # reference README.md:79 (Titan XP)
 
 
 def _load_tennis(size):
+    # prefer the reference's original PNG frames; fall back to the clip
+    # vendored in-repo (examples/tennis, JPEG-recompressed at the bench
+    # resolution — same content and flow statistics), so the bench never
+    # silently degrades to synthetic noise on a machine without the
+    # reference checkout
     ex = "/root/reference/examples"
     frames_dir = os.path.join(ex, "tennis")
     masks_dir = os.path.join(ex, "tennis_mask")
+    if not os.path.isdir(frames_dir):
+        here = os.path.dirname(os.path.abspath(__file__))
+        frames_dir = os.path.join(here, "examples", "tennis")
+        masks_dir = os.path.join(here, "examples", "tennis_mask")
     if not os.path.isdir(frames_dir):
         return None
     from e2fgvi_tpu.data import readers

@@ -139,3 +139,37 @@ def test_assemble_device_indexing_matches_host(hq_params):
                     else ref.astype(np.float16))
             assert out.shape == want.shape
             np.testing.assert_array_equal(out, want)
+
+
+def test_ref_ids_matches_reference_enumeration():
+    """Pin the strided-reference enumeration incl. the num_ref>0 window
+    and its `>` off-by-one (reference test.py:39-53) for num_ref in
+    {-1, 1, 3, 5} — only the -1 path was previously asserted."""
+    from e2fgvi_tpu.data.pipeline import neighbor_ids, ref_ids
+
+    ref_length = 10
+
+    def reference_get(f, nbs, length, num_ref):
+        # literal transcription of reference test.py:39-53
+        out = []
+        if num_ref == -1:
+            for i in range(0, length, ref_length):
+                if i not in nbs:
+                    out.append(i)
+        else:
+            start_idx = max(0, f - ref_length * (num_ref // 2))
+            end_idx = min(length, f + ref_length * (num_ref // 2))
+            for i in range(start_idx, end_idx + 1, ref_length):
+                if i not in nbs:
+                    if len(out) > num_ref:
+                        break
+                    out.append(i)
+        return out
+
+    for length in (12, 37, 70, 95):
+        for num_ref in (-1, 1, 3, 5):
+            for f in range(0, length, 5):
+                nbs = neighbor_ids(f, length)
+                assert ref_ids(f, nbs, length, ref_length, num_ref) == \
+                    reference_get(f, nbs, length, num_ref), \
+                    (length, num_ref, f)
