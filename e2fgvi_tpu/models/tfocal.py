@@ -67,11 +67,70 @@ def soft_split(params, x, b):
     return tok.reshape(b, bt // b, lh, lw, hidden)
 
 
+def _tokens_to_pixels_conv(xt, w, bias, output_size):
+    """fold(linear(tokens)) as ONE dense subpixel convolution.
+
+    xt: (BT, f_h, f_w, C) tokens; w: (C, kh*kw*cc) k-major patch weight;
+    bias: (kh*kw*cc,) or None. Returns (BT, H, W, cc) — exactly
+    fold(linear(xt, w, bias), output_size) (plain overlap-add).
+
+    Derivation: hidden patches are k-major, so fold(w @ tok) ==
+    conv(tokens, flip(w), lhs_dilation=stride) — a transposed conv from
+    the token grid to pixel space — plus the fold of the broadcast bias
+    (a static map). The lhs-dilated form makes XLA correlate the full
+    kh*kw kernel against a mostly-zero dilated grid (~(sh*sw)x wasted MXU
+    work), so the sh*sw output phases are computed as channels of ONE
+    dense token-grid conv and depth-to-space'd. The literal GEMM+fold
+    chain costs ~35 ms at the bench geometry (exp_decparts2_r04: the
+    (BT, f_h, f_w, kh, kw, cc) patch tensor's (7, 128)-minor relayout +
+    the overlap-add), the subpixel conv ~an eighth of that.
+    """
+    bt, lh, lw, c = xt.shape
+    hh, ww = output_size
+    kh, kw = T2T_KERNEL
+    sh, sw = T2T_STRIDE
+    ph, pw = T2T_PADDING
+    cc = w.shape[-1] // (kh * kw)
+    w1 = w.reshape(c, kh, kw, cc)
+    k1 = jnp.flip(w1, axis=(1, 2)).transpose(1, 2, 0, 3).astype(xt.dtype)
+    dlo = -(-ph // sh)
+    dhi = (sh - 1 - ph + kh - 1) // sh
+    dxlo = -(-pw // sw)
+    dxhi = (sw - 1 - pw + kw - 1) // sw
+    ksub = jnp.zeros((dlo + dhi + 1, dxlo + dxhi + 1, c, sh, sw, cc),
+                     k1.dtype)
+    for p in range(sh):
+        for q in range(sw):
+            for dy in range(-dlo, dhi + 1):
+                ky = sh * dy - p + ph
+                if not 0 <= ky < kh:
+                    continue
+                for dx in range(-dxlo, dxhi + 1):
+                    kx = sw * dx - q + pw
+                    if not 0 <= kx < kw:
+                        continue
+                    ksub = ksub.at[dy + dlo, dx + dxlo, :, p, q, :].set(
+                        k1[ky, kx])
+    ksub = ksub.reshape(dlo + dhi + 1, dxlo + dxhi + 1, c, sh * sw * cc)
+    zs = jax.lax.conv_general_dilated(
+        xt, ksub, window_strides=(1, 1), padding=((dlo, dhi), (dxlo, dxhi)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    zs = zs.reshape(bt, lh, lw, sh, sw, cc).transpose(0, 1, 3, 2, 4, 5)
+    z = zs.reshape(bt, lh * sh, lw * sw, cc)[:, :hh, :ww]
+    if bias is not None:
+        bpatch = jnp.broadcast_to(
+            bias.reshape(1, 1, 1, kh, kw, cc),
+            (1, lh, lw, kh, kw, cc)).astype(z.dtype)
+        z = z + fold(bpatch, output_size, T2T_KERNEL, T2T_STRIDE,
+                     T2T_PADDING)
+    return z
+
+
 def soft_comp(params, tokens, t, output_size):
     """tokens: (B, T, f_h, f_w, hidden) -> (B*T, H, W, C) features.
 
-    One embedding GEMM (MXU) + overlap-add fold (the reference's Linear +
-    nn.Fold pair, tfocal_transformer.py:49-72).
+    The reference's Linear + nn.Fold pair (tfocal_transformer.py:49-72) as
+    one subpixel convolution (see _tokens_to_pixels_conv).
 
     Base model adds a learned bias map (params['bias'] of shape (H, W, C));
     the HQ model instead applies a 3x3 conv (params['bias_conv']).
@@ -79,11 +138,9 @@ def soft_comp(params, tokens, t, output_size):
     from e2fgvi_tpu.ops.convs import conv2d
     b, tt, lh, lw, hidden = tokens.shape
     assert tt == t
-    kh, kw = T2T_KERNEL
-    feat = linear(tokens, params["embedding"]["w"], params["embedding"]["b"])
-    c = feat.shape[-1] // (kh * kw)
-    feat = feat.reshape(b * t, lh, lw, kh, kw, c)
-    out = fold(feat, output_size, T2T_KERNEL, T2T_STRIDE, T2T_PADDING)
+    out = _tokens_to_pixels_conv(
+        tokens.reshape(b * t, lh, lw, hidden), params["embedding"]["w"],
+        params["embedding"]["b"], output_size)
     if "bias" in params:
         out = out + params["bias"][None]
     else:
@@ -375,6 +432,14 @@ def _window_attention_fused(params, q, k, v, pq, scale, window_size,
 
     idx, n_fine = _key_gather_idx(h, w, wh, ww, eh, ew,
                                   (nwh, nww, pk[0], pk[1], pp[0], pp[1]))
+    # the first wh*ww slots per window are the window's OWN tokens (see
+    # _key_gather_idx) — those never ride the gather: they are the same
+    # window partition as the queries, one cheap transpose of the compact
+    # maps (the take is the dominant attention cost, and own keys are 21%
+    # of its rows). The gather carries only rolled + pooled slots.
+    wa = wh * ww
+    idx = idx[:, wa:]
+    n_fine -= wa
     s_keys = idx.shape[1]
     # pad the per-frame key count to the bf16 sublane tile (16) so the
     # kernel's (T, S_pad, hd) -> (T*S_pad, hd) view is layout-free; pad
@@ -397,14 +462,21 @@ def _window_attention_fused(params, q, k, v, pq, scale, window_size,
 
     nq = t * wh * ww
     nq_pad = -(-nq // 16) * 16
-    qw = (q * scale).reshape(b, heads, t, nwy, wh, nwx, ww, hd)
-    qw = qw.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
-        b * heads * nwin, nq, hd)
-    qw = jnp.pad(qw, ((0, 0), (0, nq_pad - nq), (0, 0)))
+
+    def partition(z, scl=None):
+        zw = z if scl is None else z * scl
+        zw = zw.reshape(b, heads, t, nwy, wh, nwx, ww, hd)
+        return zw.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+            b * heads * nwin, nq, hd)
+
+    qw = jnp.pad(partition(q, scale), ((0, 0), (0, nq_pad - nq), (0, 0)))
+    ko = partition(k)
+    vo = partition(v)
 
     # per-key bias: 0 on fine keys, the reference's -100 outside the
     # pooled grid (tfocal_transformer.py:300-316), -1e9 on padding slots
-    # and padding frames (exp underflows to exactly 0 in f32)
+    # and padding frames (exp underflows to exactly 0 in f32). Own keys
+    # carry only the frame-validity term.
     bias_win = np.full((nwin, s_pad), -1e9, np.float32)
     bias_win[:, :s_keys] = 0.0
     bias_win[:, n_fine:s_keys] = _pooled_key_mask(nwh, nww, pk[0], pk[1],
@@ -413,11 +485,15 @@ def _window_attention_fused(params, q, k, v, pq, scale, window_size,
                             (b, nwin, t, s_pad))
     if frame_valid is not None:
         bias = jnp.where(~frame_valid[:, None, :, None], -1e9, bias)
-    bias = bias.reshape(b, nwin, t * s_pad)
+        bias_o = jnp.where(frame_valid[:, :, None], 0.0, -1e9)
+        bias_o = jnp.broadcast_to(bias_o, (b, t, wa)).reshape(b, 1, nq)
+    else:
+        bias_o = jnp.zeros((b, 1, nq), jnp.float32)
+    bias = bias.reshape(b * nwin, 1, t * s_pad)
 
     from e2fgvi_tpu.kernels.fused_attention import fused_focal_attention
-    out = fused_focal_attention(qw, k_gath, v_gath, bias, b, heads,
-                                interpret)
+    out = fused_focal_attention(qw, ko, vo, k_gath, v_gath, bias_o, bias,
+                                b, heads, interpret)
     out = out[:, :nq, :]
     return linear(out, params["proj"]["w"], params["proj"]["b"])
 
@@ -571,48 +647,15 @@ def _fusion_feed_forward_conv(params, x, t, output_size):
     cc = params["fc1"]["w"].shape[-1] // (kh * kw)
 
     xt = x.reshape(bt, lh, lw, c)
-    w1 = params["fc1"]["w"].reshape(c, kh, kw, cc)
-    # conv requires matching dtypes; mixed setups (bf16 params, f32
-    # activations and vice versa) follow the activation dtype like linear()
-    k1 = jnp.flip(w1, axis=(1, 2)).transpose(1, 2, 0, 3).astype(xt.dtype)
-    # transposed conv as subpixel conv: an lhs-dilated conv makes XLA
-    # correlate the full kh*kw kernel against a mostly-zero dilated grid
-    # (~(sh*sw)x wasted MXU work, measured ~6ms/block at the bench
-    # geometry); instead compute the sh*sw output phases as channels of
-    # ONE dense token-grid conv and depth-to-space. Output pixel
-    # y = sh*ty + p draws from tokens ty+dy at kernel tap
-    # ky = sh*dy - p + ph (in range or zero) — same arithmetic, no zeros.
-    dlo = -(-ph // sh)
-    dhi = (sh - 1 - ph + kh - 1) // sh
-    dxlo = -(-pw // sw)
-    dxhi = (sw - 1 - pw + kw - 1) // sw
-    ksub = jnp.zeros((dlo + dhi + 1, dxlo + dxhi + 1, c, sh, sw, cc),
-                     k1.dtype)
-    for p in range(sh):
-        for q in range(sw):
-            for dy in range(-dlo, dhi + 1):
-                ky = sh * dy - p + ph
-                if not 0 <= ky < kh:
-                    continue
-                for dx in range(-dxlo, dxhi + 1):
-                    kx = sw * dx - q + pw
-                    if not 0 <= kx < kw:
-                        continue
-                    ksub = ksub.at[dy + dlo, dx + dxlo, :, p, q, :].set(
-                        k1[ky, kx])
-    ksub = ksub.reshape(dlo + dhi + 1, dxlo + dxhi + 1, c, sh * sw * cc)
-    zs = jax.lax.conv_general_dilated(
-        xt, ksub, window_strides=(1, 1), padding=((dlo, dhi), (dxlo, dxhi)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    zs = zs.reshape(bt, lh, lw, sh, sw, cc).transpose(0, 1, 3, 2, 4, 5)
-    z = zs.reshape(bt, lh * sh, lw * sw, cc)[:, :hh, :ww]
-    bpatch = jnp.broadcast_to(
-        params["fc1"]["b"].reshape(1, 1, 1, kh, kw, cc),
-        (1, lh, lw, kh, kw, cc)).astype(z.dtype)
-    foldb = fold(bpatch, output_size, T2T_KERNEL, T2T_STRIDE, T2T_PADDING)
+    # tokens -> pixels as ONE dense subpixel conv (see
+    # _tokens_to_pixels_conv; conv dtype follows the activation like
+    # linear() in mixed bf16/f32 setups), then the overlap-count
+    # renormalization of fold_normalized
+    z = _tokens_to_pixels_conv(xt, params["fc1"]["w"], params["fc1"]["b"],
+                               output_size)
     cnt = fold_counts(output_size, T2T_KERNEL, T2T_STRIDE, T2T_PADDING,
                       dtype=jnp.float32)
-    z = ((z + foldb).astype(jnp.float32) / cnt[None]).astype(z.dtype)
+    z = (z.astype(jnp.float32) / cnt[None]).astype(z.dtype)
     zg = gelu(z)
     w2 = params["fc2"]["w"].reshape(kh, kw, cc, c).astype(zg.dtype)
     y = jax.lax.conv_general_dilated(

@@ -57,50 +57,9 @@ def attn(p, z, pz):
     return tfocal.window_attention(p["attn"], z, pz, HEADS, WIN, EXP)
 
 
-def qkv_maps(p, z, pz):
-    hd = C // HEADS
-    wq = p["attn"]["qkv"]["w"].reshape(C, 3, HEADS, hd)
-    bq = p["attn"]["qkv"]["b"].reshape(3, HEADS, hd)
-    qkv = jnp.einsum("btyxc,cghd->gbhtyxd", z, wq.astype(z.dtype))
-    qkv = qkv + bq[:, None, :, None, None, None, :].astype(qkv.dtype)
-    pq = jnp.einsum("byxtc,cghd->gbhtyxd", pz, wq.astype(z.dtype))
-    pq = pq + bq[:, None, :, None, None, None, :].astype(pq.dtype)
-    return qkv[0], qkv[1], qkv[2], pq
-
-
-def gather_only(p, z, pz):
-    """qkv + take-gather of k/v into the fused layout (no attention)."""
-    q, k, v, pq = qkv_maps(p, z, pz)
-    b, heads, tt, h, w, hd = q.shape
-    wh, ww = WIN
-    nwh, nww = pq.shape[4], pq.shape[5]
-    pk = (2 * (wh // 2) + 1, 2 * (ww // 2) + 1)
-    pp = (pk[0] // 2, pk[1] // 2)
-    idx, n_fine = tfocal._key_gather_idx(
-        h, w, wh, ww, *EXP, (nwh, nww, pk[0], pk[1], pp[0], pp[1]))
-    nwin = idx.shape[0]
-    s_keys = idx.shape[1]
-    s_pad = -(-s_keys // 16) * 16
-    zero_slot = h * w + nwh * nww
-    idx_pad = np.full((nwin, s_pad), zero_slot, np.int32)
-    idx_pad[:, :s_keys] = idx
-
-    def gather(zm, zp):
-        src = jnp.concatenate([
-            zm.reshape(b * heads, tt, h * w, hd),
-            zp.reshape(b * heads, tt, nwh * nww, hd),
-            jnp.zeros((b * heads, tt, 1, hd), zm.dtype)], axis=2)
-        g = jnp.take(src, jnp.asarray(idx_pad.reshape(-1)), axis=2)
-        return g.reshape(b * heads, tt, nwin, s_pad, hd)
-
-    return gather(k, pq[1]), gather(v, pq[2])
-
-
 def fused_full(p, z, pz):
-    hd = C // HEADS
-    q, k, v, pq = qkv_maps(p, z, pz)
-    return tfocal._window_attention_fused(
-        p["attn"], q, k, v, pq, hd ** -0.5, WIN, EXP, None)
+    # public dispatch (E2FGVI_ATTENTION=fused set below)
+    return tfocal.window_attention(p["attn"], z, pz, HEADS, WIN, EXP)
 
 
 # baseline (round-3 default path)
@@ -108,22 +67,7 @@ os.environ["E2FGVI_ATTENTION"] = "flash"
 t("window_attention(flash,r03)", attn, params, x, pooled)
 os.environ["E2FGVI_ATTENTION"] = "fused"
 
-t("qkv_maps(only)", qkv_maps, params, x, pooled)
-t("gather_assembly(k+v)", gather_only, params, x, pooled)
 t("window_attention(fused)", fused_full, params, x, pooled)
-
-# kernel core alone, on pre-gathered inputs
-k_gath, v_gath = jax.jit(gather_only)(params, x, pooled)
-bh, tt, nwin, s_pad, hd = k_gath.shape
-nq = T * WIN[0] * WIN[1]
-nq_pad = -(-nq // 16) * 16
-qw = jnp.asarray(rng.standard_normal((B * HEADS * nwin, nq_pad, hd)), DT)
-bias = jnp.zeros((B, nwin, T * s_pad), jnp.float32)
-
-from e2fgvi_tpu.kernels.fused_attention import fused_focal_attention  # noqa: E402
-
-t("fused_kernel(core)", lambda q, k, v, bb: fused_focal_attention(
-    q, k, v, bb, B, HEADS), qw, k_gath, v_gath, bias)
 
 # whole block / stack with the fused backend
 t("block_full(fused)", lambda p, z: tfocal.transformer_block(

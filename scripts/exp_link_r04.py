@@ -92,7 +92,7 @@ def main():
         print(f"{'device recon (cumsum mod256)':28s} "
               f"{(time.time() - t0) / 8 * 1e3:8.1f} ms  (incl fence rtt)",
               flush=True)
-        ok = bool((np.asarray(out) == frames).all())
+        ok = bool((np.asarray(recon(dd)) == frames).all())
         print(f"recon exact: {ok}", flush=True)
 
 

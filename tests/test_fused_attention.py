@@ -96,24 +96,30 @@ def test_fused_grad_matches_xla_reference():
     from e2fgvi_tpu.kernels import fused_attention as fat
 
     rng = np.random.default_rng(3)
-    b, heads, nwin, t, s_pad, hd, nq_pad = 1, 2, 2, 2, 16, 8, 16
+    b, heads, nwin, t, s_pad, hd, nq_pad, no = 1, 2, 2, 2, 16, 8, 16, 8
     q = jnp.asarray(rng.standard_normal((b * heads * nwin, nq_pad, hd)),
                     jnp.float32)
+    ko = jnp.asarray(rng.standard_normal((b * heads * nwin, no, hd)),
+                     jnp.float32)
+    vo = jnp.asarray(rng.standard_normal((b * heads * nwin, no, hd)),
+                     jnp.float32)
     k = jnp.asarray(rng.standard_normal((b * heads, t, nwin, s_pad, hd)),
                     jnp.float32)
     v = jnp.asarray(rng.standard_normal((b * heads, t, nwin, s_pad, hd)),
                     jnp.float32)
-    bias = jnp.zeros((b * nwin, 1, t * s_pad), jnp.float32)
+    bias_o = jnp.zeros((b, 1, no), jnp.float32)
+    bias_g = jnp.zeros((b * nwin, 1, t * s_pad), jnp.float32)
 
-    def loss_kernel(q, k, v):
-        return jnp.sum(
-            fat.fused_focal_attention(q, k, v, bias, b, heads, True) ** 2)
+    def loss_kernel(q, ko, vo, k, v):
+        return jnp.sum(fat.fused_focal_attention(
+            q, ko, vo, k, v, bias_o, bias_g, b, heads, True) ** 2)
 
-    def loss_ref(q, k, v):
-        return jnp.sum(fat._xla_reference(q, k, v, bias, b, heads) ** 2)
+    def loss_ref(q, ko, vo, k, v):
+        return jnp.sum(fat._xla_reference(
+            q, ko, vo, k, v, bias_o, bias_g, b, heads) ** 2)
 
-    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
-    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2, 3, 4))(q, ko, vo, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, ko, vo, k, v)
     for a, bb in zip(gk, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    rtol=2e-5, atol=2e-5)
