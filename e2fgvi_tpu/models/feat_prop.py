@@ -241,7 +241,6 @@ def bidirectional_propagation(params, x, flows_backward_branch,
             prev1, prev2 = carry
             i = xi["i"]
             flow_n1 = xi["f1"]
-            cond_n1 = warp(prev1, flow_n1)
             # second-order state: zeros at the first recurrence step and —
             # for padded windows — at each element's second real step
             # (the reference's cold start, feat_prop.py:90-141)
@@ -254,7 +253,12 @@ def bidirectional_propagation(params, x, flows_backward_branch,
             use2 = use2[:, None, None, None].astype(x.dtype)
             feat_n2 = prev2 * use2
             flow_n2 = (flow_n1 + warp(xi["f2"], flow_n1)) * use2
-            cond_n2 = warp(feat_n2, flow_n2)
+            # the two 128-channel feature warps are independent batch
+            # entries of one sampler call (batch entries don't interact):
+            # one dispatch + one position prep instead of two
+            both = warp(jnp.concatenate([prev1, feat_n2], axis=0),
+                        jnp.concatenate([flow_n1, flow_n2], axis=0))
+            cond_n1, cond_n2 = both[:b], both[b:]
 
             cond = jnp.concatenate([cond_n1, xi["cur"], cond_n2], axis=-1)
             stacked = jnp.concatenate([prev1, feat_n2], axis=-1)
