@@ -565,6 +565,9 @@ def modulated_deform_conv2d_banded_head(x, head, flow_1, flow_2, w, b=None,
     kh, kw, wcin, cout = w.shape
     k = kh * kw
     g = head.shape[-1] // (3 * k)
+    assert head.shape[-1] == 3 * k * g, (
+        f"offset-head channels {head.shape[-1]} not divisible by 3*k={3 * k}"
+        " — malformed head would silently mis-split offsets/mask")
     cg = cin // g
     ho = h + 2 * padding - kh + 1
     wo = wdt + 2 * padding - kw + 1

@@ -86,9 +86,9 @@ def _inception(p, x):
     return jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
 
-def i3d_features(params, video):
-    """video: (B, T, H, W, 3) in [0, 1] (the reference feeds [0,1], not
-    [-1,1] — metrics.py:71-83). Returns (B, 1024) mean-pooled Mixed_5c."""
+def i3d_trunk(params, video):
+    """video: (B, T, H, W, 3) in [0, 1]. Returns the pre-pool Mixed_5c
+    map (B, T', H', W', 1024), T' = ceil(T/8) (three temporal stride-2s)."""
     x = video
     for name, kind, spec in _STEM:
         if kind == "conv":
@@ -101,7 +101,41 @@ def i3d_features(params, video):
             x = _maxpool_same(x, *spec)
         else:
             x = _inception(params[name], x)
-    return x.mean(axis=(1, 2, 3))
+    return x
+
+
+def i3d_features(params, video):
+    """video: (B, T, H, W, 3) in [0, 1] (the reference feeds [0,1], not
+    [-1,1] — metrics.py:71-83). Returns (B, 1024) mean-pooled Mixed_5c."""
+    return i3d_trunk(params, video).mean(axis=(1, 2, 3))
+
+
+def i3d_features_masked(params, video, valid_t):
+    """i3d_features over only the first `valid_t` input frames' outputs.
+
+    For T-bucketed evaluation: videos are edge-padded in T to a small
+    bucket set so XLA compiles one program per bucket instead of one per
+    unique video length (reference evaluate.py:128-133 runs the exact
+    length, which recompiles per video on a jit backend). The temporal
+    axis is downsampled 8x by the trunk, so output frames at index
+    >= ceil(valid_t/8) come entirely from padding and are masked out of
+    the mean. Caveat: Mixed_5c's temporal receptive field spans ~100
+    input frames, so the freeze-frame padding still reaches the kept
+    outputs — per-video features are APPROXIMATE (exact only when the
+    video length equals its bucket). VFID itself stays meaningful: real
+    and composited videos of the same clip get the identical padded
+    transform, so the Frechet comparison is between consistently-computed
+    distributions. For bit-parity with the reference's published VFID,
+    run `cli/evaluate.py --i3d_exact` (one compile per distinct length).
+
+    valid_t: () int32, the real frame count. video: (B, bucket, H, W, 3).
+    """
+    fmap = i3d_trunk(params, video)              # (B, T', H', W', 1024)
+    tprime = fmap.shape[1]
+    nvalid = (valid_t + 7) // 8
+    keep = (jnp.arange(tprime) < nvalid)[None, :, None, None, None]
+    denom = nvalid * fmap.shape[2] * fmap.shape[3]
+    return jnp.where(keep, fmap, 0.0).sum(axis=(1, 2, 3)) / denom
 
 
 # --- torch checkpoint conversion -------------------------------------------

@@ -63,7 +63,13 @@ def make_optimizers(base_lr, schedule_fn, spynet_lr_mult=1.0,
 
 
 def make_train_step(tx_g, tx_d, num_local_frames, config_losses,
-                    no_dis=False, gan_type="hinge"):
+                    no_dis=False, gan_type="hinge", remat=True):
+    """remat: rematerialize the generator forward in its backward
+    (jax.checkpoint inside generator_forward) — the memory/compute knob
+    for real training (default on, matching the reference's memory
+    envelope at batch 8 x 240x432). The multichip dryrun turns it off:
+    on the driver's 1-core virtual CPU mesh the recompute is pure wall
+    time with no memory to save."""
     hole_w = config_losses.get("hole_weight", 1.0)
     valid_w = config_losses.get("valid_weight", 1.0)
     flow_w = config_losses.get("flow_weight", 1.0)
@@ -78,7 +84,7 @@ def make_train_step(tx_g, tx_d, num_local_frames, config_losses,
 
         # -- 1. generator forward with saved pullback
         def g_fwd(pg):
-            pred, flows = generator_forward(pg, masked, lt, remat=True)
+            pred, flows = generator_forward(pg, masked, lt, remat=remat)
             return pred.reshape(b, t, h, w, 3), flows
 
         (pred_imgs, pred_flows), g_vjp = jax.vjp(g_fwd, state.params_g)

