@@ -160,12 +160,20 @@ def main(argv=None):
         start_video(vi)
     metric_futs = []
     write_futs = []
+    band_stats = []
     for vi in range(n_videos):
         fut, name, orig = run_futs.pop(vi)
         comp = fut.result()
         if vi + 2 < n_videos:
             start_video(vi + 2)
         total_frames += len(comp)
+        # persist band telemetry (RESIDUAL_MARGIN grounding — the stats
+        # power scripts/calibrate_margin.py's recommendation); with
+        # cross-video pipelining the attribution to `name` is approximate
+        # (last writer wins), the bounds themselves are per-video exact
+        st = getattr(runner, "last_band_stats", None)
+        if st and st.get("flow_bound") is not None:
+            band_stats.append({"video": name, **st})
 
         if use_vfid:
             comp_u8 = np.stack(comp).astype(np.uint8)
@@ -198,6 +206,16 @@ def main(argv=None):
     fid = metrics.calculate_vfid(real_acts, fake_acts) if use_vfid else \
         float("nan")
     dt = time.time() - t_start
+    if band_stats:
+        import json
+        deltas = [s["offset_bound"] - s["flow_bound"] for s in band_stats
+                  if s.get("offset_bound") is not None]
+        with open(os.path.join(result_path, "band_stats.json"), "w") as f:
+            json.dump({"videos": band_stats,
+                       "max_residual": max(deltas) if deltas else None,
+                       "redispatch_total": sum(
+                           s.get("redispatches") or 0
+                           for s in band_stats)}, f, indent=1)
     tail = ("Finish evaluation... Average Frame PSNR/SSIM/VFID: "
             f"{avg_psnr:.2f}/{avg_ssim:.4f}/{fid:.3f}")
     print(tail)

@@ -180,3 +180,23 @@ def test_native_matches_numpy(rng):
            orig * (1 - mk[..., None])).astype(np.float32)
     np.testing.assert_allclose(
         native.composite_blend(pred, orig, mk, None), ref)
+
+
+def test_vendored_mp4_example_reads():
+    """The vendored mp4 example (reference ships examples/schoolgirls.mp4,
+    test.py:74-94; we vendor the tennis clip re-muxed as mp4) must decode
+    through the CLI's mp4 input path to the same clip as the frame dir."""
+    import os
+
+    from e2fgvi_tpu.data import readers
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "examples", "tennis.mp4")
+    frames = readers.read_frames(path, size=(432, 240))
+    assert len(frames) == 70
+    a = np.asarray(frames[0], np.float32)
+    assert a.shape == (240, 432, 3)
+    ref = np.asarray(readers.read_frames(
+        os.path.join(root, "examples", "tennis"), size=(432, 240))[0],
+        np.float32)
+    # mp4v is lossy; same content within codec noise
+    assert np.abs(a - ref).mean() < 8.0
