@@ -27,6 +27,12 @@ from e2fgvi_tpu.utils import env
 
 BASELINE_SEC_PER_FRAME = 0.12  # reference README.md:79 (Titan XP)
 
+# progress shared with the watchdog: if the timer fires mid-run but >= 1
+# timed video completed, it reports the REAL sustained fps so far instead
+# of a zero (the axon tunnel's bandwidth swings 4x between runs — a slow
+# -tunnel day must degrade the recorded number, not erase it)
+_PROGRESS = {"n_done": 0, "t0": None, "n_frames": 0, "depth": 0}
+
 
 def _load_tennis(size):
     # prefer the reference's original PNG frames; fall back to the clip
@@ -106,8 +112,12 @@ def main():
         band_override=int(band_env) if band_env is not None else None,
         out_dtype=np.uint8)
 
-    # warmup (compile all window geometries)
+    # warmup (compile all window geometries) — timed: a slow warmup on a
+    # warm cache means a slow tunnel, so the measured run shrinks its rep
+    # count to fit the watchdog budget instead of timing out
+    tw = time.time()
     runner(frames, masks, orig, binary)
+    t_warm = time.time() - tw
 
     # sustained serving throughput: a 2-deep video pipeline, the way the
     # evaluate CLI streams a dataset — video N+1's host->device upload
@@ -119,19 +129,29 @@ def main():
     depth = (1 if os.environ.get("E2FGVI_BENCH_PIPELINE") == "1"
              else int(os.environ.get("E2FGVI_BENCH_DEPTH", "3")))
     # enough reps that the pipeline's fill/drain edges (one un-overlapped
-    # upload + one un-overlapped pull) amortize into the steady state
-    reps = int(os.environ.get("E2FGVI_BENCH_REPS", str(2 * depth)))
+    # upload + one un-overlapped pull) amortize into the steady state;
+    # fewer on a visibly slow tunnel (see t_warm above)
+    reps = int(os.environ.get(
+        "E2FGVI_BENCH_REPS", str(2 * depth if t_warm < 15 else depth)))
     t0 = time.time()
+    _PROGRESS.update(t0=t0, n_frames=n_frames, depth=depth)
+
+    import threading
+    lock = threading.Lock()
+
+    def one(_):
+        runner(frames, masks, orig, binary)
+        with lock:
+            _PROGRESS["n_done"] += 1
+
     if depth == 1:
-        for _ in range(reps):
-            runner(frames, masks, orig, binary)
+        for i in range(reps):
+            one(i)
     else:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(depth) as pool:
-            futs = [pool.submit(runner, frames, masks, orig, binary)
-                    for _ in range(reps)]
-            for f in futs:
-                f.result()
+            for _ in pool.map(one, range(reps)):
+                pass
     dt = (time.time() - t0) / reps
 
     fps = n_frames / dt
@@ -166,6 +186,21 @@ def _watchdog(seconds):
     import threading
 
     def fire():
+        n, t0 = _PROGRESS["n_done"], _PROGRESS["t0"]
+        if n >= 1 and t0:
+            # the timed loop is underway on a slow tunnel: report the real
+            # sustained number so far (completed videos only — in-flight
+            # pipeline slots are conservatively dropped)
+            fps = n * _PROGRESS["n_frames"] / (time.time() - t0)
+            print(json.dumps({
+                "metric": "frames_per_sec_432x240",
+                "value": round(fps, 3), "unit": "frames/s",
+                "vs_baseline": round(fps * BASELINE_SEC_PER_FRAME, 3),
+                "pipeline_depth": _PROGRESS["depth"],
+                "partial": f"watchdog at {seconds}s after {n} videos "
+                           "(slow tunnel)",
+            }), flush=True)
+            os._exit(0)
         print(json.dumps({
             "metric": "frames_per_sec_432x240", "value": 0.0,
             "unit": "frames/s", "vs_baseline": 0.0,

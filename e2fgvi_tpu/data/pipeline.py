@@ -260,6 +260,10 @@ class SlidingWindowInpainter:
             _os.environ.get("E2FGVI_DCN", "banded") == "banded"
             and jax.default_backend() == "tpu")
         self.band_override = band_override
+        # last validated band of this session (cross-video speculation;
+        # plain attribute — concurrent __call__s race benignly, any value
+        # is re-validated against the video's own measured bounds)
+        self._band_hint = None
         # float32: the reference's metric-path contract (blend quarters,
         # f16-exact). uint8: the video-writing contract (the reference
         # truncates comp to uint8 at write time, test.py:183-196) —
@@ -352,30 +356,45 @@ class SlidingWindowInpainter:
         mark("flows", flows_f)
 
         # stage 2.5: pick the deformable-sampler band from the measured
-        # per-video flow bound (ONE scalar readback; the banded kernel is
-        # exact within the band — kernels/dcn_band.py; None -> XLA gather)
+        # per-video flow bound (the banded kernel is exact within the
+        # band — kernels/dcn_band.py; None -> XLA gather). The bound is
+        # ONE scalar — but np.asarray on it would stall this thread on
+        # the whole flow stage before any window program can enter the
+        # device queue. So the readback is DEFERRED: when a previous
+        # video of this session already settled on a band, that band is
+        # used speculatively and the measured fy is only read (still one
+        # scalar) at validation time below, where the off-bound check
+        # syncs anyway. A speculative band that turns out too narrow is
+        # caught by the same exactness contract (measured offset/warp
+        # bounds) and costs one re-dispatch — never wrong output.
         dcn_band = None
         adaptive = False
         fy = None
+        fy_dev = None
         quarter_w = frames_u8.shape[2] // 4
         if self._banded_dcn and n_pairs > 0 and quarter_w <= 127:
             if self.band_override is not None:
                 dcn_band = self.band_override or None
             else:
                 from e2fgvi_tpu.kernels import dcn_band as bandlib
-                fy = float(np.asarray(self._flow_bound_jit(flows_f,
-                                                           flows_b)))
-                # optimistic band: assume small learned residuals; the
-                # forward measures the true offset bound and a violated
-                # contract triggers one exact re-dispatch below
-                band_safe = bandlib.band_for_flow_bound(fy)
-                band_opt = bandlib.band_for_offset_bound(
-                    fy + bandlib.RESIDUAL_MARGIN)
-                if band_opt is not None and (band_safe is None
-                                             or band_opt < band_safe):
-                    dcn_band, adaptive = band_opt, True
+                fy_dev = self._flow_bound_jit(flows_f, flows_b)  # async
+                hint = self._band_hint
+                if hint is not None:
+                    dcn_band, adaptive = hint, True
                 else:
-                    dcn_band = band_safe
+                    # first video of the session: blocking readback
+                    fy = float(np.asarray(fy_dev))
+                    # optimistic band: assume small learned residuals;
+                    # the forward measures the true offset bound and a
+                    # violated contract triggers an exact re-dispatch
+                    band_safe = bandlib.band_for_flow_bound(fy)
+                    band_opt = bandlib.band_for_offset_bound(
+                        fy + bandlib.RESIDUAL_MARGIN)
+                    if band_opt is not None and (band_safe is None
+                                                 or band_opt < band_safe):
+                        dcn_band, adaptive = band_opt, True
+                    else:
+                        dcn_band = band_safe
         mark(f"flow_bound(band={dcn_band})")
 
         # stage 3: ALL windows share one end-padded (T_pad, L) geometry
@@ -460,38 +479,6 @@ class SlidingWindowInpainter:
 
         (pred_row, outs, bounds), dcn_band = dispatch_with_fallback(
             dcn_band)
-        redispatches = 0
-        off_max = None
-        if adaptive:
-            from e2fgvi_tpu.kernels import dcn_band as bandlib2
-            # a violated run's offsets are inexact, so the offsets measured
-            # on a RE-dispatch can exceed the band chosen from the previous
-            # measurement — loop until the band that produced the output
-            # also satisfies the bound measured ON that output (exact by
-            # the kernel contract). Bounded: each iteration grows the band
-            # bucket, ending at the XLA sampler (always exact).
-            # the banded flow warps inside feat_prop need band >=
-            # band_for_warp_bound(fy) (fy is the EXACT measured flow bound
-            # incl. second-order composition) — keep the re-dispatch band
-            # from shrinking below it when residuals cancel the flow
-            warp_need = bandlib2.band_for_warp_bound(fy)
-            for _ in range(len(bandlib2.BAND_BUCKETS) + 1):
-                if dcn_band is None:
-                    break                       # XLA sampler: exact
-                off_max = max(float(np.asarray(ob)) for ob in bounds)
-                need = bandlib2.band_for_offset_bound(off_max)
-                if need is not None and warp_need is not None:
-                    need = max(need, warp_need)
-                if need is not None and need <= dcn_band:
-                    break                       # contract satisfied
-                redispatches += 1
-                (pred_row, outs, bounds), dcn_band = \
-                    dispatch_with_fallback(need)
-        # band-selection telemetry (kernels/dcn_band.py RESIDUAL_MARGIN is
-        # grounded from these measurements — see that module's docstring)
-        self.last_band_stats = {
-            "flow_bound": fy, "band": dcn_band, "offset_bound": off_max,
-            "redispatches": redispatches}
         mark(f"dispatch(band={dcn_band})")
 
         # composite + overlap blend ON DEVICE: the reference's sequential
@@ -504,21 +491,31 @@ class SlidingWindowInpainter:
         # device->host link; predictions are uint8-truncated on device
         # exactly like the reference, and the blend weights are quarters,
         # exactly representable in the f16 metric-path readback).
-        contrib = [[] for _ in range(video_length)]
-        for wi, p in enumerate(plans):
-            for li, f in enumerate(p.neighbors):
-                if not contrib[f]:
-                    contrib[f] = [(pred_row[(wi, li)], 1.0)]
-                else:
-                    contrib[f] = [(r, wt * 0.5) for r, wt in contrib[f]]
-                    contrib[f].append((pred_row[(wi, li)], 0.5))
-        kmax = max(len(c) for c in contrib)
-        idx_np = np.zeros((video_length, kmax), np.int32)
-        wt_np = np.zeros((video_length, kmax), np.float32)
-        for f, c in enumerate(contrib):
-            for j, (r, wt) in enumerate(c):
-                idx_np[f, j] = r
-                wt_np[f, j] = wt
+        def blend_tables(pred_row):
+            contrib = [[] for _ in range(video_length)]
+            for wi, p in enumerate(plans):
+                for li, f in enumerate(p.neighbors):
+                    if not contrib[f]:
+                        contrib[f] = [(pred_row[(wi, li)], 1.0)]
+                    else:
+                        contrib[f] = [(r, wt * 0.5) for r, wt in contrib[f]]
+                        contrib[f].append((pred_row[(wi, li)], 0.5))
+            kmax = max(len(c) for c in contrib)
+            idx_np = np.zeros((video_length, kmax), np.int32)
+            wt_np = np.zeros((video_length, kmax), np.float32)
+            for f, c in enumerate(contrib):
+                for j, (r, wt) in enumerate(c):
+                    idx_np[f, j] = r
+                    wt_np[f, j] = wt
+            tab_pad = t_bucket - idx_np.shape[0]
+            if tab_pad:
+                idx_np = np.concatenate(
+                    [idx_np, np.zeros((tab_pad, idx_np.shape[1]),
+                                      np.int32)])
+                wt_np = np.concatenate(
+                    [wt_np, np.zeros((tab_pad, wt_np.shape[1]),
+                                     np.float32)])
+            return idx_np, wt_np
 
         # masked-pixel count + scatter indices (host side, from the same
         # dilated mask used for compositing); the per-pixel GATHER indices
@@ -542,19 +539,66 @@ class SlidingWindowInpainter:
         if pad_bytes:
             mask_bits = np.concatenate(
                 [mask_bits, np.zeros(pad_bytes, np.uint8)])
-        tab_pad = t_bucket - idx_np.shape[0]
-        if tab_pad:
-            idx_np = np.concatenate(
-                [idx_np, np.zeros((tab_pad, idx_np.shape[1]), np.int32)])
-            wt_np = np.concatenate(
-                [wt_np, np.zeros((tab_pad, wt_np.shape[1]), np.float32)])
         mark("mask_idx")
 
-        preds_flat = jnp.concatenate(outs, axis=0)
         to_u8 = self.out_dtype == np.uint8
-        assembled = self._assemble_jit(
-            preds_flat, jnp.asarray(mask_bits), jnp.asarray(idx_np),
-            jnp.asarray(wt_np), (bucket, h, w, hp_i, wp_i, to_u8))
+        mask_bits_j = jnp.asarray(mask_bits)
+
+        def enqueue_assemble(pred_row, outs):
+            idx_np, wt_np = blend_tables(pred_row)
+            preds_flat = jnp.concatenate(outs, axis=0)
+            return self._assemble_jit(
+                preds_flat, mask_bits_j, jnp.asarray(idx_np),
+                jnp.asarray(wt_np), (bucket, h, w, hp_i, wp_i, to_u8))
+
+        # the assemble program is enqueued SPECULATIVELY, before the band
+        # contract is validated: validation needs scalar readbacks (sync
+        # points), and in the no-violation common case the device can run
+        # the assemble as soon as the windows finish instead of idling
+        # through the round trips. A violation discards one assemble.
+        assembled = enqueue_assemble(pred_row, outs)
+        redispatches = 0
+        off_max = None
+        if adaptive:
+            from e2fgvi_tpu.kernels import dcn_band as bandlib2
+            # a violated run's offsets are inexact, so the offsets measured
+            # on a RE-dispatch can exceed the band chosen from the previous
+            # measurement — loop until the band that produced the output
+            # also satisfies the bound measured ON that output (exact by
+            # the kernel contract). Bounded: each iteration grows the band
+            # bucket, ending at the XLA sampler (always exact).
+            if fy is None:
+                # speculative-band path: the deferred flow-bound readback
+                fy = float(np.asarray(fy_dev))
+            # the banded flow warps inside feat_prop need band >=
+            # band_for_warp_bound(fy) (fy is the EXACT measured flow bound
+            # incl. second-order composition) — keep the band from
+            # shrinking below it when residuals cancel the flow, and
+            # validate the speculative band against it too
+            warp_need = bandlib2.band_for_warp_bound(fy)
+            for _ in range(len(bandlib2.BAND_BUCKETS) + 1):
+                if dcn_band is None:
+                    break                       # XLA sampler: exact
+                # ONE fused readback over all chunk bounds
+                off_max = float(np.asarray(jnp.max(jnp.stack(bounds))))
+                need = bandlib2.band_for_offset_bound(off_max)
+                if need is not None and warp_need is not None:
+                    need = max(need, warp_need)
+                if need is not None and need <= dcn_band:
+                    break                       # contract satisfied
+                redispatches += 1
+                (pred_row, outs, bounds), dcn_band = \
+                    dispatch_with_fallback(need)
+                assembled = enqueue_assemble(pred_row, outs)
+        # next video in this session starts from this validated band (and
+        # re-validates it) instead of stalling on its own flow readback
+        self._band_hint = dcn_band if dcn_band is not None else None
+        # band-selection telemetry (kernels/dcn_band.py RESIDUAL_MARGIN is
+        # grounded from these measurements — see that module's docstring)
+        self.last_band_stats = {
+            "flow_bound": fy, "band": dcn_band, "offset_bound": off_max,
+            "redispatches": redispatches}
+
         # build the host output buffer WHILE the device still computes /
         # the tunnel still streams: the 21MB originals copy is pure host
         # work with no dependency on the pull
