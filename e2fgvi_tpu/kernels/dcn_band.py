@@ -19,8 +19,10 @@ whenever every sample's vertical corner rows fall inside the band, i.e.
 for all samples whose corners are inside the image. The vertical offset is
 bounded by |flow_y| + max_residue_magnitude (10, tanh-bounded) + 1 tap,
 so `band_for_flow_bound` turns a per-video flow bound into a band; the
-caller falls back to the XLA path when the band would exceed `MAX_BAND`
-or the feature map is wider than the 128-lane vreg.
+caller falls back to the XLA path when the band would exceed `MAX_BAND`.
+Maps wider than one 128-lane vreg (HQ/720p quarter-res) run a multi-tile
+gather: nx^2 range-selected 128-lane gathers per access (see
+_sampler_kernel.gather_x), exact for arbitrary horizontal offsets.
 
 Why the 3x3 weight contraction stays OUTSIDE the kernel (in XLA): sampling
 must run in a (rows=sublanes, x=lanes) layout — the lane-dim dynamic
@@ -119,21 +121,47 @@ def band_for_warp_bound(max_abs_flow_y: float) -> int | None:
 
 def _sampler_kernel(lo_ref, hi_ref, src_ref, py_ref, px_ref, m_ref,
                     out_ref, acc_ref, *, band, cg, hp, wp, dy_lo, dtype,
-                    dynamic_bounds, strips=1, k=1, packed=False):
+                    dynamic_bounds, strips=1, k=1, packed=False, nx=1):
     py = py_ref[0, 0]
     px = px_ref[0, 0]
-    x0 = jnp.clip(jnp.floor(px), 0, wp - 2).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(px), 0, nx * wp - 2).astype(jnp.int32)
     x0f = x0.astype(jnp.float32)
     wx0 = jax.nn.relu(1.0 - jnp.abs(px - x0f))
     wx1 = jax.nn.relu(1.0 - jnp.abs(px - (x0f + 1.0)))
     # int iota + cast: Mosaic's tpu.iota only produces integer vectors
-    rows = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0).astype(
+    wpx = nx * wp
+    rows = jax.lax.broadcasted_iota(jnp.int32, (hp, wpx), 0).astype(
         jnp.float32)
     # Mosaic's dynamic_gather only lowers for 32-bit lanes: bf16 tables are
     # gathered through an in-register f32 upcast (storage stays bf16)
     gdt = jnp.float32 if dtype == jnp.bfloat16 else dtype
     x1 = x0 + 1
     m = m_ref[0, 0].astype(dtype)
+
+    def gather_x(sm, idx):
+        """Lane gather across nx 128-lane tiles. nx == 1 is Mosaic's
+        native lane-dim dynamic gather; wider maps decompose into the
+        same proven (rows, 128) gather per (output-tile, source-tile)
+        pair, range-selected — indices stay in [0, wp) per gather, so
+        each lowers exactly like the nx == 1 op."""
+        if nx == 1:
+            return jnp.take_along_axis(sm, idx, axis=1,
+                                       mode="promise_in_bounds")
+        cols = []
+        for o in range(nx):
+            io = idx[:, o * wp: (o + 1) * wp]
+            acc_o = None
+            for j in range(nx):
+                rel = io - j * wp
+                gj = jnp.take_along_axis(
+                    sm[:, j * wp: (j + 1) * wp],
+                    jnp.clip(rel, 0, wp - 1), axis=1,
+                    mode="promise_in_bounds")
+                hit = (rel >= 0) & (rel < wp)
+                acc_o = (jnp.where(hit, gj, jnp.zeros_like(gj))
+                         if acc_o is None else jnp.where(hit, gj, acc_o))
+            cols.append(acc_o)
+        return jnp.concatenate(cols, axis=1)
 
     # STATIC unroll over the band's 8-row blocks with pl.when skipping —
     # a fori_loop with pl.ds-sliced source measures 1.7x slower (dynamic
@@ -163,7 +191,7 @@ def _sampler_kernel(lo_ref, hi_ref, src_ref, py_ref, px_ref, m_ref,
     sh = hp // strips
 
     for c in range(cg):
-        acc_ref[c] = jnp.zeros((hp, wp), gdt)
+        acc_ref[c] = jnp.zeros((hp, wpx), gdt)
 
     for s in range(strips):
         r0, r1 = s * sh, (s + 1) * sh
@@ -211,21 +239,15 @@ def _sampler_kernel(lo_ref, hi_ref, src_ref, py_ref, px_ref, m_ref,
                             # shift), so the result is bit-exact
                             # (A/B: 34.1 -> 28.9 ms on the full-sweep
                             # tile, exp_dcn_inner_r04)
-                            g = jnp.take_along_axis(
-                                sm, x0_s, axis=1,
-                                mode="promise_in_bounds")
+                            g = gather_x(sm, x0_s)
                             g0 = jax.lax.bitcast_convert_type(
                                 g & jnp.int32(-65536), jnp.float32)
                             g1 = jax.lax.bitcast_convert_type(
                                 g << 16, jnp.float32)
                         else:
                             sm = sm.astype(gdt)
-                            g0 = jnp.take_along_axis(
-                                sm, x0_s, axis=1,
-                                mode="promise_in_bounds")
-                            g1 = jnp.take_along_axis(
-                                sm, x1_s, axis=1,
-                                mode="promise_in_bounds")
+                            g0 = gather_x(sm, x0_s)
+                            g1 = gather_x(sm, x1_s)
                         acc = acc + g0 * w0 + g1 * w1
                     acc_ref[c, r0:r1] = acc
 
@@ -251,14 +273,15 @@ def _pack_pairs(xs):
 
 @functools.lru_cache(maxsize=None)
 def _build_sampler(ng, k, cg, hp, wp, band, dy_lo, dtype_name, interpret,
-                   light=False, strips=1, packed=False):
+                   light=False, strips=1, packed=False, nx=1):
     dtype = jnp.dtype(dtype_name).type
     hs = hp + band
     kern = functools.partial(_sampler_kernel, band=band, cg=cg, hp=hp,
                              wp=wp, dy_lo=dy_lo, dtype=dtype,
                              dynamic_bounds=not light,
                              strips=strips if not light else 1, k=k,
-                             packed=packed)
+                             packed=packed, nx=nx)
+    wp = wp * nx   # total lane width of every block below
     gdt = jnp.float32 if dtype == jnp.bfloat16 else dtype
     scratch = [pltpu.VMEM((cg, hp, wp), gdt)]
     if light:
@@ -340,12 +363,15 @@ def flow_warp_banded(x, flow, *, band=32, interpret=False, light=None):
     x: (N, H, W, C); flow: (N, H, W, 2), last dim (dx, dy) in pixels.
     """
     n, h, w, c = x.shape
-    assert w <= LANES - 1, f"banded warp requires W <= {LANES - 1}, got {w}"
     cg = math.gcd(c, 64)
     g = c // cg
     dy_lo = -(band // 2)
     hp = -(-h // 8) * 8
-    wp = LANES
+    # maps wider than one 128-lane vreg run the multi-tile gather
+    # (nx^2 range-selected 128-lane gathers — see _sampler_kernel);
+    # +1 keeps a zero pad column after the last real x
+    nx = -(-(w + 1) // LANES)
+    wp = LANES * nx
     dtype = x.dtype
 
     fl = flow.astype(jnp.float32)
@@ -398,9 +424,10 @@ def flow_warp_banded(x, flow, *, band=32, interpret=False, light=None):
     packed = dtype == jnp.bfloat16
     if packed:
         xs = _pack_pairs(xs)
-    sampler = _build_sampler(n * g, 1, cg, hp, wp, band, dy_lo,
+    sampler = _build_sampler(n * g, 1, cg, hp, LANES, band, dy_lo,
                              jnp.dtype(dtype).name, bool(interpret),
-                             light=light, strips=strips, packed=packed)
+                             light=light, strips=strips, packed=packed,
+                             nx=nx)
     if light:
         sampled = sampler(xs, pyg, pxg, ones)
     else:
@@ -412,7 +439,7 @@ def flow_warp_banded(x, flow, *, band=32, interpret=False, light=None):
 
 def _sample_and_contract(x, pyg, pxg, mg, row_lo, row_hi, w, b, *,
                          n, g, k, cg, ho, wo, hp, wp, band, dy_lo,
-                         interpret, light):
+                         interpret, light, nx=1):
     """Shared tail of the banded DCNv2 variants: pad/pack the source,
     run the Pallas sweep, contract with the (reordered) conv weight."""
     kh, kw = w.shape[0], w.shape[1]
@@ -434,10 +461,10 @@ def _sample_and_contract(x, pyg, pxg, mg, row_lo, row_hi, w, b, *,
     packed = dtype == jnp.bfloat16
     if packed:
         xs = _pack_pairs(xs)
-    sampler = _build_sampler(n * g, k, cg, hp, wp, band, dy_lo,
+    sampler = _build_sampler(n * g, k, cg, hp, LANES, band, dy_lo,
                              jnp.dtype(dtype).name, bool(interpret),
                              light=light, strips=_n_strips(hp),
-                             packed=packed)
+                             packed=packed, nx=nx)
     if light:
         sampled = sampler(xs, pyg, pxg, mg)
     else:
@@ -482,11 +509,10 @@ def modulated_deform_conv2d_banded(x, offset, mask, w, b=None, *,
     ho = h + 2 * padding - kh + 1
     wo = wdt + 2 * padding - kw + 1
     assert (ho, wo) == offset.shape[1:3] and wcin == cin
-    assert wo <= LANES - 1, (
-        f"banded DCN requires W <= {LANES - 1} lanes, got {wo}")
     dy_lo = -(band // 2)
     hp = -(-ho // 8) * 8
-    wp = LANES
+    nx = -(-(wo + 1) // LANES)   # lane tiles (multi-tile gather for wide maps)
+    wp = LANES * nx
     dtype = x.dtype
 
     off = offset.astype(jnp.float32)
@@ -532,7 +558,7 @@ def modulated_deform_conv2d_banded(x, offset, mask, w, b=None, *,
     return _sample_and_contract(
         x, pyg, pxg, mg, row_lo, row_hi, w, b, n=n, g=g, k=k, cg=cg,
         ho=ho, wo=wo, hp=hp, wp=wp, band=band, dy_lo=dy_lo,
-        interpret=interpret, light=light)
+        interpret=interpret, light=light, nx=nx)
 
 
 def modulated_deform_conv2d_banded_head(x, head, flow_1, flow_2, w, b=None,
@@ -572,11 +598,10 @@ def modulated_deform_conv2d_banded_head(x, head, flow_1, flow_2, w, b=None,
     ho = h + 2 * padding - kh + 1
     wo = wdt + 2 * padding - kw + 1
     assert (ho, wo) == head.shape[1:3] and wcin == cin
-    assert wo <= LANES - 1, (
-        f"banded DCN requires W <= {LANES - 1} lanes, got {wo}")
     dy_lo = -(band // 2)
     hp = -(-ho // 8) * 8
-    wp = LANES
+    nx = -(-(wo + 1) // LANES)   # lane tiles (multi-tile gather for wide maps)
+    wp = LANES * nx
 
     res = (max_residue
            * jnp.tanh(head[..., : 2 * k * g].astype(jnp.float32)))
@@ -635,5 +660,5 @@ def modulated_deform_conv2d_banded_head(x, head, flow_1, flow_2, w, b=None,
     out = _sample_and_contract(
         x, pyg, pxg, mg, row_lo, row_hi, w, b, n=n, g=g, k=k, cg=cg,
         ho=ho, wo=wo, hp=hp, wp=wp, band=band, dy_lo=dy_lo,
-        interpret=interpret, light=light)
+        interpret=interpret, light=light, nx=nx)
     return out, bound

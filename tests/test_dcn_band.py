@@ -295,3 +295,34 @@ def test_head_fused_production_bounds(rng):
         x, head, f1, f2, wgt, None, band=32, interpret=True, light=False)
     np.testing.assert_allclose(np.asarray(prod), np.asarray(light),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_banded_wide_map_multi_tile(rng):
+    """Maps wider than one 128-lane vreg (HQ/720p quarter-res) run the
+    nx>1 multi-tile gather — must match the XLA sampler exactly,
+    including horizontal offsets that cross the 128-lane tile boundary."""
+    x, offset, mask, wgt, b = _inputs(rng, h=8, w=150, off_scale=3.0)
+    # force tile-crossing horizontal samples around lane 128
+    offset[..., 1] += rng.uniform(-30, 30, offset.shape[:-1])
+    want = modulated_deform_conv2d(jnp.asarray(x), jnp.asarray(offset),
+                                   jnp.asarray(mask), jnp.asarray(wgt),
+                                   jnp.asarray(b))
+    got = modulated_deform_conv2d_banded(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+        jnp.asarray(wgt), jnp.asarray(b), band=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_flow_warp_banded_wide_map(rng):
+    """flow_warp_banded on a 2-lane-tile width vs the XLA warp."""
+    from e2fgvi_tpu.kernels.dcn_band import flow_warp_banded
+    from e2fgvi_tpu.ops.warp import flow_warp
+    x = rng.standard_normal((2, 16, 200, 8)).astype(np.float32)
+    flow = (rng.uniform(-1, 1, (2, 16, 200, 2)) * 40).astype(np.float32)
+    flow[..., 1] = np.clip(flow[..., 1], -6, 6)   # respect the band
+    want = flow_warp(jnp.asarray(x), jnp.asarray(flow))
+    got = flow_warp_banded(jnp.asarray(x), jnp.asarray(flow), band=24,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
