@@ -7,8 +7,10 @@ core/trainer.py:293-399) — on the default JAX device and prints ONE JSON
 line {"metric", "value", "unit", ...}.
 
 Env knobs:
-  E2FGVI_TRAIN_BENCH_BATCH=N   (default 8; the reference's global batch)
+  E2FGVI_TRAIN_BENCH_BATCH=N   (default 1 = per-chip; reference global 8)
   E2FGVI_TRAIN_BENCH_DTYPE=float32|bfloat16 (default bfloat16 params/compute)
+  E2FGVI_TRAIN_BENCH_REMAT=0|1 (default 1 — the production memory envelope)
+  E2FGVI_TRAIN_BENCH_OUT=path  (also write the JSON line to a file)
 """
 
 import json
@@ -52,11 +54,12 @@ def main():
     state = step_lib.init_train_state(
         params_g, params_d, jax.tree.map(jnp.array, params_g["spynet"]),
         tx_g, tx_d)
+    remat = os.environ.get("E2FGVI_TRAIN_BENCH_REMAT", "1") == "1"
     step_fn = jax.jit(step_lib.make_train_step(
         tx_g, tx_d, num_local_frames=lt,
         config_losses={"hole_weight": 1.0, "valid_weight": 1.0,
                        "flow_weight": 1.0, "adversarial_weight": 0.01},
-        gan_type="hinge"))
+        gan_type="hinge", remat=remat))
 
     rng = np.random.default_rng(0)
     frames = jnp.asarray(
@@ -69,14 +72,24 @@ def main():
         return logs  # keep `state` constant across timed reps
 
     dt = time_stage(one_step, state, frames, masks, iters=4)
-    print(json.dumps({
+    line = {
         "metric": "train_step_sec_b%d_432x240" % batch,
         "value": round(dt, 4),
         "unit": "s/iteration",
         "iterations_per_sec": round(1.0 / dt, 3),
         "global_batch8_iterations_per_sec_8chip": round(1.0 / dt, 3),
         "dtype": "bfloat16" if use_bf16 else "float32",
-    }))
+        "remat": remat,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(line), flush=True)
+    out = os.environ.get("E2FGVI_TRAIN_BENCH_OUT")
+    if out:
+        import datetime
+        line["date"] = datetime.date.today().isoformat()
+        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+        with open(out, "a") as f:
+            f.write(json.dumps(line) + "\n")
 
 
 if __name__ == "__main__":
