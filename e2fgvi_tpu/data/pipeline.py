@@ -372,7 +372,10 @@ class SlidingWindowInpainter:
         fy = None
         fy_dev = None
         quarter_w = frames_u8.shape[2] // 4
-        if self._banded_dcn and n_pairs > 0 and quarter_w <= 127:
+        # 381 = 3 lane tiles (kernels/dcn_band.py multi-tile gather) —
+        # covers 720p HQ quarter-res (320); wider falls back to XLA.
+        # Wide-map compile failures are caught by dispatch_with_fallback.
+        if self._banded_dcn and n_pairs > 0 and quarter_w <= 381:
             if self.band_override is not None:
                 dcn_band = self.band_override or None
             else:

@@ -6,12 +6,13 @@ statistics), masks upscaled nearest — with random weights (no released
 checkpoints in this environment; SPyNet residuals tamed exactly like
 bench.py so the flow magnitudes match a trained model's).
 
-At 720p the quarter-res width (324) exceeds the banded sampler's 128-lane
-vreg, so the deformable sampler runs on the XLA gather path (the exact
-fallback); E2FGVI_BENCH_BATCH bounds the window batch (default 2 — the
-XLA sampler materializes its gather blocks).
+At 720p the quarter-res width (320) spans three 128-lane tiles — the
+banded sampler covers it via the multi-tile gather (r05,
+kernels/dcn_band.py); a compile failure there falls back to the exact
+XLA sampler automatically (pipeline dispatch_with_fallback).
+E2FGVI_BENCH_BATCH bounds the window batch (default 2).
 
-Writes ONE JSON line + results/bench_720p_r04.json.
+Writes ONE JSON line + results/bench_720p_r05.json.
 
 Run (TPU): PYTHONPATH=.:/root/.axon_site python scripts/bench_720p.py
 """
@@ -91,13 +92,13 @@ def main():
         "unit": "frames/s", "n_frames": n,
         "seconds_per_video": round(dt, 3),
         "max_batch": runner.max_batch,
-        "dcn": "xla-fallback (quarter width 324 > 127 lanes)",
+        "band_stats": getattr(runner, "last_band_stats", None),
         "marks_ms": {k: round(1e3 * v) for k, v in
                      getattr(runner, "last_marks", {}).items()},
     }
     print(json.dumps(line), flush=True)
     os.makedirs("results", exist_ok=True)
-    with open("results/bench_720p_r04.json", "w") as f:
+    with open("results/bench_720p_r05.json", "w") as f:
         json.dump(line, f, indent=1)
 
 
