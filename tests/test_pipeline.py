@@ -173,3 +173,48 @@ def test_ref_ids_matches_reference_enumeration():
                 assert ref_ids(f, nbs, length, ref_length, num_ref) == \
                     reference_get(f, nbs, length, num_ref), \
                     (length, num_ref, f)
+
+
+@pytest.mark.slow
+def test_speculative_band_hint_revalidates(rng):
+    """A WRONG cross-video band hint (r05 speculation, pipeline stage 2.5)
+    must be caught by the offset/warp-bound validation and re-dispatched:
+    output equals the XLA-sampler run exactly, redispatches >= 1, and the
+    settled hint satisfies the measured bounds. Forced on CPU via the
+    interpret-light kernels (_banded_dcn is TPU-gated in production)."""
+    params = e2fgvi.init_params(jax.random.PRNGKey(5), variant="base")
+    # moderate flows: large enough that band 16 is too narrow, small
+    # enough that a legal bucket exists
+    for mod in params["spynet"]["modules"]:
+        last = sorted(mod)[-1]
+        mod[last]["w"] = mod[last]["w"] * 0.02
+    t_video, h, w = 6, 60, 108
+    # shrink the base model's learned sc bias map to this video's 15x27
+    # feature grid (it is sized for 432x240; same move as the dryrun)
+    params["sc"]["bias"] = jnp.zeros((15, 27, 128), jnp.float32)
+    frames, masks, orig, binary = _make_video(rng, t_video, h, w)
+
+    ref = SlidingWindowInpainter(params, e2fgvi.generator_forward,
+                                 max_batch=2, band_override=0)
+    want = ref(frames, masks, orig, binary)
+
+    runner = SlidingWindowInpainter(params, e2fgvi.generator_forward,
+                                    max_batch=2)
+    runner._banded_dcn = True          # lift the TPU gate (light kernels)
+    runner._band_hint = 16             # deliberately too-narrow hint
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        got = runner(frames, masks, orig, binary)
+    st = runner.last_band_stats
+    from e2fgvi_tpu.kernels import dcn_band as bandlib
+    need = bandlib.band_for_offset_bound(st["offset_bound"])
+    wneed = bandlib.band_for_warp_bound(st["flow_bound"])
+    if st["band"] is not None:
+        assert need is not None and need <= st["band"]
+        assert wneed is not None and wneed <= st["band"]
+    if need is None or max(need, wneed) > 16:
+        # the hint really was too narrow -> the validation must have fired
+        assert st["redispatches"] >= 1 or st["band"] is None
+    assert runner._band_hint == st["band"]
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
