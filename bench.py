@@ -23,7 +23,10 @@ import time
 
 import numpy as np
 
-from e2fgvi_tpu.utils import env
+# NOTE: nothing above main() may import jax (directly or via e2fgvi_tpu.*):
+# when the axon tunnel is down, `import jax` itself blocks inside the PJRT
+# plugin hook (observed >280 s, 2026-08-20) — the watchdog in __main__ must
+# already be armed when that happens so the driver still gets a JSON line.
 
 BASELINE_SEC_PER_FRAME = 0.12  # reference README.md:79 (Titan XP)
 
@@ -72,6 +75,7 @@ def main():
     # default to the fast path for the benchmark; correctness-critical runs
     # keep the 'highest' default from env.setup()
     os.environ.setdefault("E2FGVI_MATMUL_PRECISION", "default")
+    from e2fgvi_tpu.utils import env  # deferred: imports jax (see top note)
     env.setup()
     import jax
     import jax.numpy as jnp
