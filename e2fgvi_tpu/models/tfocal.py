@@ -301,6 +301,54 @@ def _key_gather_idx(h, w, wh, ww, eh, ew, pooled_geom):
     return np.asarray(rows, np.int32), n_fine
 
 
+@lru_cache(maxsize=32)
+def _key_gather_dedup(h, w, wh, ww, eh, ew, pooled_geom):
+    """Deduplicated per-window key table for the fused gather path
+    (own-window slots already removed, as in _window_attention_fused).
+
+    The rolled multiset repeats 12 of its 120 slots at the serving
+    geometry (the four roll L-shapes overlap pairwise), and the pooled
+    5x9 unfold window mostly falls OUTSIDE the tiny pooled grid — all
+    out-of-grid slots read the same zero row with the same -100 boundary
+    bias (reference tfocal_transformer.py:300-316). Softmax treats n
+    identical (key, bias) slots exactly like ONE slot with bias + ln(n):
+    exp(l + ln n) = n exp(l) in both the normalizer and the value
+    average. Collapsing duplicates cuts S_pad 176 -> 128 at the serving
+    geometry — 27% fewer rows in the k/v take AND 27% fewer key columns
+    in the dominant logit panel.
+
+    Returns (idx (nwin, S) int32, bias (nwin, S) f32): first-occurrence
+    order; padding slots (windows have 121-125 unique keys) index the
+    zero row with bias -1e9.
+    """
+    idx, n_fine = _key_gather_idx(h, w, wh, ww, eh, ew, pooled_geom)
+    wa = wh * ww
+    idx = idx[:, wa:]
+    n_fine -= wa
+    nwh, nww, pkh, pkw, ph, pw = pooled_geom
+    pm = _pooled_key_mask(nwh, nww, pkh, pkw, ph, pw)
+    zero_slot = h * w + nwh * nww
+    rows = []
+    for wi in range(idx.shape[0]):
+        slots = [(int(s), 0.0) for s in idx[wi, :n_fine]]
+        slots += [(int(s), float(bb))
+                  for s, bb in zip(idx[wi, n_fine:], pm[wi])]
+        counts, order = {}, []
+        for key in slots:
+            if key not in counts:
+                order.append(key)
+            counts[key] = counts.get(key, 0) + 1
+        rows.append([(s, b + math.log(counts[(s, b)]))
+                     for (s, b) in order])
+    smax = max(len(r) for r in rows)
+    out_idx = np.full((len(rows), smax), zero_slot, np.int32)
+    out_bias = np.full((len(rows), smax), -1e9, np.float32)
+    for i, r in enumerate(rows):
+        out_idx[i, :len(r)] = [s for s, _ in r]
+        out_bias[i, :len(r)] = [b for _, b in r]
+    return out_idx, out_bias
+
+
 # ---------------------------------------------------------------------------
 # Focal window attention
 # ---------------------------------------------------------------------------
@@ -464,16 +512,24 @@ def _window_attention_fused(params, q, k, v, pq, scale, window_size,
     pk = (2 * (wh // 2) + 1, 2 * (ww // 2) + 1)
     pp = (pk[0] // 2, pk[1] // 2)
 
-    idx, n_fine = _key_gather_idx(h, w, wh, ww, eh, ew,
-                                  (nwh, nww, pk[0], pk[1], pp[0], pp[1]))
+    geom = (nwh, nww, pk[0], pk[1], pp[0], pp[1])
     # the first wh*ww slots per window are the window's OWN tokens (see
     # _key_gather_idx) — those never ride the gather: they are the same
     # window partition as the queries, one cheap transpose of the compact
     # maps (the take is the dominant attention cost, and own keys are 21%
-    # of its rows). The gather carries only rolled + pooled slots.
+    # of its rows). The gather carries only rolled + pooled slots, and by
+    # default the DEDUPED table (identical (key, bias) slots collapsed
+    # with a log-multiplicity bias — exact, see _key_gather_dedup).
     wa = wh * ww
-    idx = idx[:, wa:]
-    n_fine -= wa
+    if _env_choice("E2FGVI_ATTN_DEDUPE", "on", ("on", "off")) == "on":
+        idx, bias_rows = _key_gather_dedup(h, w, wh, ww, eh, ew, geom)
+    else:
+        idx, n_fine = _key_gather_idx(h, w, wh, ww, eh, ew, geom)
+        idx = idx[:, wa:]
+        n_fine -= wa
+        bias_rows = np.zeros(idx.shape, np.float32)
+        bias_rows[:, n_fine:] = _pooled_key_mask(nwh, nww, pk[0], pk[1],
+                                                 *pp)
     s_keys = idx.shape[1]
     # pad the per-frame key count to the bf16 sublane tile (16) so the
     # kernel's (T, S_pad, hd) -> (T*S_pad, hd) view is layout-free; pad
@@ -535,13 +591,12 @@ def _window_attention_fused(params, q, k, v, pq, scale, window_size,
     vo = partition(v)
 
     # per-key bias: 0 on fine keys, the reference's -100 outside the
-    # pooled grid (tfocal_transformer.py:300-316), -1e9 on padding slots
-    # and padding frames (exp underflows to exactly 0 in f32). Own keys
-    # carry only the frame-validity term.
+    # pooled grid (tfocal_transformer.py:300-316), + ln(multiplicity) on
+    # deduped slots, -1e9 on padding slots and padding frames (exp
+    # underflows to exactly 0 in f32). Own keys carry only the frame
+    # -validity term.
     bias_win = np.full((nwin, s_pad), -1e9, np.float32)
-    bias_win[:, :s_keys] = 0.0
-    bias_win[:, n_fine:s_keys] = _pooled_key_mask(nwh, nww, pk[0], pk[1],
-                                                  *pp)
+    bias_win[:, :s_keys] = bias_rows
     bias = jnp.broadcast_to(jnp.asarray(bias_win)[None, :, None, :],
                             (b, nwin, t, s_pad))
     if frame_valid is not None:

@@ -144,3 +144,48 @@ def test_packed_kv_gather_bit_exact(monkeypatch):
         params16, q, k, v, pq, hd ** -0.5, (5, 9), (2, 4), None,
         interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_dedupe_matches_full_multiset(monkeypatch):
+    """E2FGVI_ATTN_DEDUPE=on (the default) collapses duplicate (key, bias)
+    slots with a log-multiplicity bias — exp(l + ln n) = n exp(l), so the
+    softmax normalizer and value average are unchanged up to f32
+    rounding. Must match the undeduped fused path to tight tolerance."""
+    heads = 2
+    params, x, pooled = _inputs()
+    q, k, v, pq = _qkv_maps(params, x, pooled, heads)
+    hd = x.shape[-1] // heads
+    monkeypatch.setenv("E2FGVI_ATTN_DEDUPE", "off")
+    want = np.asarray(tfocal._window_attention_fused(
+        params, q, k, v, pq, hd ** -0.5, (5, 9), (2, 4), None,
+        interpret=True))
+    monkeypatch.setenv("E2FGVI_ATTN_DEDUPE", "on")
+    got = np.asarray(tfocal._window_attention_fused(
+        params, q, k, v, pq, hd ** -0.5, (5, 9), (2, 4), None,
+        interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+
+
+def test_dedupe_table_counts():
+    """The dedup table at the serving geometry: S shrinks 165 -> 125 and
+    the multiplicity-weighted exp mass per (key set) is preserved."""
+    import math as _m
+    idx, n_fine = tfocal._key_gather_idx(20, 36, 5, 9, 2, 4,
+                                         (4, 4, 5, 9, 2, 4))
+    didx, dbias = tfocal._key_gather_dedup(20, 36, 5, 9, 2, 4,
+                                           (4, 4, 5, 9, 2, 4))
+    assert didx.shape[1] == 125
+    wa = 45
+    pm = tfocal._pooled_key_mask(4, 4, 5, 9, 2, 4)
+    for wi in (0, 5, 15):
+        full = ([(int(s), 0.0) for s in idx[wi, wa:n_fine]]
+                + [(int(s), float(b))
+                   for s, b in zip(idx[wi, n_fine:], pm[wi])])
+        # exp-mass per source slot must match sum over dedup slots
+        from collections import Counter
+        cf = Counter(full)
+        for (s, b), n in cf.items():
+            j = [jj for jj in range(didx.shape[1])
+                 if didx[wi, jj] == s and abs(dbias[wi, jj]
+                                              - (b + _m.log(n))) < 1e-6]
+            assert j, (wi, s, b, n)
