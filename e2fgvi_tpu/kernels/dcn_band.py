@@ -121,8 +121,7 @@ def band_for_warp_bound(max_abs_flow_y: float) -> int | None:
 
 def _sampler_kernel(lo_ref, hi_ref, src_ref, py_ref, px_ref, m_ref,
                     out_ref, acc_ref, *, band, cg, hp, wp, dy_lo, dtype,
-                    dynamic_bounds, strips=1, k=1, packed=False, nx=1,
-                    span=0):
+                    dynamic_bounds, strips=1, k=1, packed=False, nx=1):
     py = py_ref[0, 0]
     px = px_ref[0, 0]
     x0 = jnp.clip(jnp.floor(px), 0, nx * wp - 2).astype(jnp.int32)
@@ -205,58 +204,8 @@ def _sampler_kernel(lo_ref, hi_ref, src_ref, py_ref, px_ref, m_ref,
             wx0_s, wx1_s = wx0, wx1
             rows_s = rows
         if dynamic_bounds:
-            lo_row = lo_ref[flat + s]
-            hi_row = hi_ref[flat + s]
-            lo_blk = lo_row // 8
-            hi_blk = (hi_row + 7) // 8
-            sp = hi_row - lo_row
-        # SPAN-FAST path (span > 0, opt-in): the block sweep below costs a
-        # minimum of one full 8-row block per strip — and two when the
-        # needed [lo, hi) range straddles a block boundary — while each
-        # sample only ever draws weight from its floor(py)/floor(py)+1
-        # corner rows, so a smooth offset field needs ~2-4 rows per strip.
-        # When the strip's measured span fits in `span` rows, sweep
-        # exactly rows [lo, lo+span) from ONE dynamic-start slab copy per
-        # channel (static trip count; the weight base rides the dynamic
-        # lo). Rows in [hi, lo+span) carry zero weight for every sample,
-        # so this is exact by the same argument as the block skip; strips
-        # with wider spans fall through to the block path (the two
-        # pl.when conditions are disjoint).
-        if span and dynamic_bounds:
-
-            def fast(py_s=py_s, x0_s=x0_s, x1_s=x1_s, wx0_s=wx0_s,
-                     wx1_s=wx1_s, rows_s=rows_s, r0=r0, r1=r1,
-                     lo_row=lo_row):
-                base = lo_row.astype(jnp.float32) + float(dy_lo)
-                wps = []
-                for r in range(span):
-                    wy = jax.nn.relu(
-                        1.0 - jnp.abs(py_s - (rows_s + (base + r))))
-                    wps.append(((wy * wx0_s).astype(gdt),
-                                (wy * wx1_s).astype(gdt)))
-                sh_s = r1 - r0
-                for c in range(cg):
-                    slab = src_ref[0, c,
-                                   pl.ds(r0 + lo_row, span + sh_s - 1), :]
-                    acc = acc_ref[c, r0:r1]
-                    for r in range(span):
-                        sm = slab[r:r + sh_s]
-                        w0, w1 = wps[r]
-                        if packed:
-                            gch = gather_x(sm, x0_s)
-                            g0 = jax.lax.bitcast_convert_type(
-                                gch & jnp.int32(-65536), jnp.float32)
-                            g1 = jax.lax.bitcast_convert_type(
-                                gch << 16, jnp.float32)
-                        else:
-                            smc = sm.astype(gdt)
-                            g0 = gather_x(smc, x0_s)
-                            g1 = gather_x(smc, x1_s)
-                        acc = acc + g0 * w0 + g1 * w1
-                    acc_ref[c, r0:r1] = acc
-
-            pl.when((sp > 0) & (sp <= span))(fast)
-
+            lo_blk = lo_ref[flat + s] // 8
+            hi_blk = (hi_ref[flat + s] + 7) // 8
         # 8-row BLOCK granularity for the pl.when skip: per-block
         # accumulation stays in registers (one VMEM read-modify-write of
         # the strip slab per block). A row-granular pl.when was A/B'd and
@@ -303,10 +252,7 @@ def _sampler_kernel(lo_ref, hi_ref, src_ref, py_ref, px_ref, m_ref,
                     acc_ref[c, r0:r1] = acc
 
             if dynamic_bounds:
-                gate = (bi >= lo_blk) & (bi < hi_blk)
-                if span:
-                    gate = gate & (sp > span)
-                pl.when(gate)(blk)
+                pl.when((bi >= lo_blk) & (bi < hi_blk))(blk)
             else:
                 blk()
 
@@ -327,18 +273,14 @@ def _pack_pairs(xs):
 
 @functools.lru_cache(maxsize=None)
 def _build_sampler(ng, k, cg, hp, wp, band, dy_lo, dtype_name, interpret,
-                   light=False, strips=1, packed=False, nx=1, span=0):
+                   light=False, strips=1, packed=False, nx=1):
     dtype = jnp.dtype(dtype_name).type
-    # span-fast slabs may read up to span-2 rows past the band's bottom
-    # pad (start r0+lo <= hp-8 + band-2, height span+sh-1) — 8 extra
-    # zero rows cover any span <= 10 and keep pl.ds un-clamped
-    hs = hp + band + (8 if span and not light else 0)
+    hs = hp + band
     kern = functools.partial(_sampler_kernel, band=band, cg=cg, hp=hp,
                              wp=wp, dy_lo=dy_lo, dtype=dtype,
                              dynamic_bounds=not light,
                              strips=strips if not light else 1, k=k,
-                             packed=packed, nx=nx,
-                             span=span if not light else 0)
+                             packed=packed, nx=nx)
     wp = wp * nx   # total lane width of every block below
     gdt = jnp.float32 if dtype == jnp.bfloat16 else dtype
     scratch = [pltpu.VMEM((cg, hp, wp), gdt)]
@@ -404,18 +346,7 @@ def _build_sampler(ng, k, cg, hp, wp, band, dy_lo, dtype_name, interpret,
     return dispatch
 
 
-def _resolve_span(light, span):
-    """span-fast row count: explicit arg wins; else the E2FGVI_DCN_SPAN
-    env knob (0 = off); always off on the light full-sweep variant."""
-    if light:
-        return 0
-    if span is None:
-        span = int(_os.environ.get("E2FGVI_DCN_SPAN", "0"))
-    return int(span)
-
-
-def flow_warp_banded(x, flow, *, band=32, interpret=False, light=None,
-                     span=None):
+def flow_warp_banded(x, flow, *, band=32, interpret=False, light=None):
     """Banded Pallas flow_warp — same contract as ops.warp.flow_warp
     (align_corners bilinear, zeros padding; reference flow_comp.py:345-383)
     whenever |flow_y| respects the band contract (module docstring with
@@ -483,22 +414,20 @@ def flow_warp_banded(x, flow, *, band=32, interpret=False, light=None,
     row_hi = jnp.broadcast_to(row_hi[:, None, None, :],
                               (n, g, 1, strips)).reshape(n * g, 1, strips)
 
-    if light is None:
-        light = bool(interpret) or jax.default_backend() == "cpu"
-    span = _resolve_span(light, span)
     xs = x.reshape(n, h, w, g, cg).transpose(0, 3, 4, 1, 2)
     xs = xs.reshape(n * g, cg, h, w)
     xs = jnp.pad(xs, ((0, 0), (0, 0),
-                      (-dy_lo, band + dy_lo + hp - h + (8 if span else 0)),
-                      (0, wp - w)))
+                      (-dy_lo, band + dy_lo + hp - h), (0, wp - w)))
 
+    if light is None:
+        light = bool(interpret) or jax.default_backend() == "cpu"
     packed = dtype == jnp.bfloat16
     if packed:
         xs = _pack_pairs(xs)
     sampler = _build_sampler(n * g, 1, cg, hp, LANES, band, dy_lo,
                              jnp.dtype(dtype).name, bool(interpret),
                              light=light, strips=strips, packed=packed,
-                             nx=nx, span=span)
+                             nx=nx)
     if light:
         sampled = sampler(xs, pyg, pxg, ones)
     else:
@@ -510,34 +439,32 @@ def flow_warp_banded(x, flow, *, band=32, interpret=False, light=None,
 
 def _sample_and_contract(x, pyg, pxg, mg, row_lo, row_hi, w, b, *,
                          n, g, k, cg, ho, wo, hp, wp, band, dy_lo,
-                         interpret, light, nx=1, span=None):
+                         interpret, light, nx=1):
     """Shared tail of the banded DCNv2 variants: pad/pack the source,
     run the Pallas sweep, contract with the (reordered) conv weight."""
     kh, kw = w.shape[0], w.shape[1]
     cout = w.shape[3]
     h, wdt = x.shape[1], x.shape[2]
     dtype = x.dtype
-    # the static full-sweep variant also serves CPU backends (e.g. tests
-    # under force_tpu_interpret_mode): the interpreter is pathologically
-    # slow on dynamic trip counts and scalar-prefetch grids
-    if light is None:
-        light = bool(interpret) or jax.default_backend() == "cpu"
-    span = _resolve_span(light, span)
     # src: (N,H,W,Cin) -> (N*G, CG, HS, WP), rows shifted so padded row r
     # holds real row r + dy_lo (zero outside)
     xs = x.reshape(n, h, wdt, g, cg).transpose(0, 3, 4, 1, 2)
     xs = xs.reshape(n * g, cg, h, wdt)
     xs = jnp.pad(xs, ((0, 0), (0, 0),
-                      (-dy_lo, band + dy_lo + hp - h + (8 if span else 0)),
-                      (0, wp - wdt)))
+                      (-dy_lo, band + dy_lo + hp - h), (0, wp - wdt)))
 
+    # the static full-sweep variant also serves CPU backends (e.g. tests
+    # under force_tpu_interpret_mode): the interpreter is pathologically
+    # slow on dynamic trip counts and scalar-prefetch grids
+    if light is None:
+        light = bool(interpret) or jax.default_backend() == "cpu"
     packed = dtype == jnp.bfloat16
     if packed:
         xs = _pack_pairs(xs)
     sampler = _build_sampler(n * g, k, cg, hp, LANES, band, dy_lo,
                              jnp.dtype(dtype).name, bool(interpret),
                              light=light, strips=_n_strips(hp),
-                             packed=packed, nx=nx, span=span)
+                             packed=packed, nx=nx)
     if light:
         sampled = sampler(xs, pyg, pxg, mg)
     else:
@@ -562,7 +489,7 @@ def _sample_and_contract(x, pyg, pxg, mg, row_lo, row_hi, w, b, *,
 
 def modulated_deform_conv2d_banded(x, offset, mask, w, b=None, *,
                                    band=32, padding=1, interpret=False,
-                                   light=None, span=None):
+                                   light=None):
     """Banded-sampler DCNv2; same contract as ops.dcn.modulated_deform_conv2d
     (stride 1, dilation 1, groups 1), exact under the band contract above.
 
@@ -631,13 +558,13 @@ def modulated_deform_conv2d_banded(x, offset, mask, w, b=None, *,
     return _sample_and_contract(
         x, pyg, pxg, mg, row_lo, row_hi, w, b, n=n, g=g, k=k, cg=cg,
         ho=ho, wo=wo, hp=hp, wp=wp, band=band, dy_lo=dy_lo,
-        interpret=interpret, light=light, nx=nx, span=span)
+        interpret=interpret, light=light, nx=nx)
 
 
 def modulated_deform_conv2d_banded_head(x, head, flow_1, flow_2, w, b=None,
                                         *, band=32, padding=1,
                                         max_residue=10.0, interpret=False,
-                                        light=None, span=None):
+                                        light=None):
     """Banded DCNv2 with the offset head FUSED into the position prelude.
 
     Numerically identical to
@@ -733,5 +660,5 @@ def modulated_deform_conv2d_banded_head(x, head, flow_1, flow_2, w, b=None,
     out = _sample_and_contract(
         x, pyg, pxg, mg, row_lo, row_hi, w, b, n=n, g=g, k=k, cg=cg,
         ho=ho, wo=wo, hp=hp, wp=wp, band=band, dy_lo=dy_lo,
-        interpret=interpret, light=light, nx=nx, span=span)
+        interpret=interpret, light=light, nx=nx)
     return out, bound

@@ -326,88 +326,3 @@ def test_flow_warp_banded_wide_map(rng):
                            interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-4)
-
-
-def test_span_fast_path_mixed_spans(rng):
-    """The span-fast path (E2FGVI_DCN_SPAN / span=4): strips whose
-    measured row span fits in `span` rows sweep a dynamic-start slab;
-    wider strips fall through to the block path. Craft offsets so BOTH
-    paths execute in one kernel (per-row gradient strips: flat rows ->
-    span 2-3, steep rows -> span > 4), and verify exact agreement with
-    the XLA reference. h=24 -> 3 strips of 8."""
-    x, offset, mask, wgt, b = _inputs(rng, n=1, h=24, w=16, off_scale=0.0)
-    # strip 0: near-constant offsets (span ~2, fast path)
-    offset[:, :8, ..., 0] += 2.25
-    # strip 1: strong in-strip gradient (span > 4, block path)
-    grad = np.linspace(-5.0, 5.0, 8, dtype=np.float32)
-    offset[:, 8:16, ..., 0] += grad[None, :, None, None, None]
-    # strip 2: moderate constant negative offset near a block boundary
-    offset[:, 16:, ..., 0] += -3.75
-    offset[..., 0] += rng.uniform(-0.4, 0.4,
-                                  offset.shape[:-1]).astype(np.float32)
-    offset[..., 1] += rng.uniform(-3, 3,
-                                  offset.shape[:-1]).astype(np.float32)
-    want = modulated_deform_conv2d(jnp.asarray(x), jnp.asarray(offset),
-                                   jnp.asarray(mask), jnp.asarray(wgt),
-                                   jnp.asarray(b))
-    got = modulated_deform_conv2d_banded(
-        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
-        jnp.asarray(wgt), jnp.asarray(b), band=24, interpret=True,
-        light=False, span=4)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=1e-5, atol=1e-4)
-
-
-def test_span_fast_warp_and_head(rng):
-    """span-fast on the warp (K=1) and head-fused DCN variants, incl.
-    samples pushed outside the image (zeros semantics ride on the source
-    padding, which the span slab reads dynamically)."""
-    from e2fgvi_tpu.kernels.dcn_band import (
-        flow_warp_banded, modulated_deform_conv2d_banded_head)
-    from e2fgvi_tpu.ops.warp import flow_warp
-    n, h, w, c = 2, 16, 20, 8
-    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
-    flow = rng.uniform(-1, 1, (n, h, w, 2)).astype(np.float32)
-    flow[..., 1] += 2.5
-    flow[0, :3, :, 1] = -11.0          # off-image stripe, inside band
-    flow = jnp.asarray(flow)
-    want = flow_warp(x, flow)
-    got = flow_warp_banded(x, flow, band=32, interpret=True, light=False,
-                           span=4)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=1e-5, atol=1e-4)
-
-    g, k, cin, cout = 2, 9, 4, 4
-    xh = jnp.asarray(rng.standard_normal((n, h, w, cin)), jnp.float32)
-    head = jnp.asarray(rng.standard_normal((n, h, w, 3 * k * g)) * 0.1,
-                       jnp.float32)
-    f1 = jnp.asarray(rng.standard_normal((n, h, w, 2)), jnp.float32)
-    f2 = jnp.asarray(rng.standard_normal((n, h, w, 2)), jnp.float32)
-    wgt = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.2,
-                      jnp.float32)
-    want_h, want_b = modulated_deform_conv2d_banded_head(
-        xh, head, f1, f2, wgt, None, band=32, interpret=True, light=False)
-    got_h, got_b = modulated_deform_conv2d_banded_head(
-        xh, head, f1, f2, wgt, None, band=32, interpret=True, light=False,
-        span=4)
-    np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h),
-                               rtol=1e-6, atol=1e-6)
-    assert abs(float(got_b) - float(want_b)) < 1e-6
-
-
-def test_span_fast_packed_bf16(rng):
-    """span-fast with the packed int32 bf16 source: the slab is sliced
-    from the packed table, so unpacking must stay bit-identical."""
-    x, offset, mask, wgt, b = _inputs(rng, h=16, w=16, off_scale=1.5)
-    want = modulated_deform_conv2d_banded(
-        jnp.asarray(x, jnp.bfloat16), jnp.asarray(offset),
-        jnp.asarray(mask), jnp.asarray(wgt, jnp.bfloat16),
-        jnp.asarray(b, jnp.bfloat16), band=16, interpret=True, light=False)
-    got = modulated_deform_conv2d_banded(
-        jnp.asarray(x, jnp.bfloat16), jnp.asarray(offset),
-        jnp.asarray(mask), jnp.asarray(wgt, jnp.bfloat16),
-        jnp.asarray(b, jnp.bfloat16), band=16, interpret=True, light=False,
-        span=4)
-    np.testing.assert_allclose(np.asarray(got, np.float32),
-                               np.asarray(want, np.float32),
-                               rtol=1e-6, atol=1e-6)
