@@ -39,6 +39,15 @@ materializes a 9.1x-padded 3.17 GB copy) and one XLA einsum applies the
 reordered weight; its HBM round-trip is ~0.4 GB/step at full batch,
 ~1.5 ms of the ~40 ms step. The kernel's own band sweep is where the
 time goes, which the per-strip row bounds attack directly.
+
+Sweep-tightening is tapped out (measured r05): a span-fast variant that
+swept exactly [lo, lo+span) rows from a dynamic-start slab when a
+strip's measured span fit (instead of the block path's 8-16 gated rows)
+was a WASH on smooth SPyNet-like offsets — dcn 17.87 -> 17.75 ms, warps
+slightly worse (scripts/exp_span_r05.py, reverted). With the strip
+bounds already skipping most blocks, the remaining time is the
+per-sample gather+FMA floor (~2 corner rows x pixels x taps x groups x
+channels) plus span-independent fixed work — not sweep width.
 """
 
 import functools
