@@ -84,11 +84,38 @@ import os as _os
 
 RESIDUAL_MARGIN = float(_os.environ.get("E2FGVI_DCN_RESIDUAL", "4.0"))
 
+# Register-accumulation sweep (r05): accumulate each strip's slab in
+# vregs carried through lax.cond instead of a VMEM (cg, hp, wp) scratch.
+# The scratch's fixed traffic — zero-init, one read-modify-write per
+# triggered block, and the final read-multiply-write — is the measured
+# span-independent floor the span-fast A/B exposed (exp_span_r05 was a
+# wash; exp_dcnparts_r05: sweep 16.4 ms of the 21.2 ms step). pl.when
+# cannot carry values out of its region, so block skipping moves to
+# lax.cond over the per-strip accumulator pytree. Measured on-chip
+# (exp_regacc_r05, serving geometry, smooth flows): warp128 2.34 ->
+# 0.32 ms (the warp's cost was almost entirely scratch traffic — most
+# strips trigger zero blocks but the scratch form still paid the full
+# init + final pass); head-fused DCN 20.4 -> 19.9 ms at blk_rows=4 (the
+# DCN sweep is at its per-row gather+FMA floor, ~6 cycles per (8,128)
+# row slab, so scratch removal only trims the margins). Bit-exact vs
+# the scratch sweep in the same run.
+REGACC = _os.environ.get("E2FGVI_DCN_REGACC", "1") != "0"
+
 # Row granularity of the per-strip skip bounds (the sweep work scales with
 # the offsets' vertical span within a strip, not the whole image — see
 # _sampler_kernel). 0 disables strips (whole-tile bounds, the pre-strip
 # behavior) for A/B benching.
 STRIP_ROWS = int(_os.environ.get("E2FGVI_BAND_STRIP_ROWS", "8"))
+
+# Gated-block row granularity of the regacc sweep. The scratch sweep is
+# pinned at 8 (per-block VMEM RMW made finer blocks a loss); with the
+# accumulator in registers a triggered block's cost is pure gather+FMA
+# rows, so finer blocks trade extra scalar branches for fewer wasted
+# rows when the strip's span is small. Must divide the band buckets.
+# Measured (exp_regacc_r05): 4 beats 8 (19.88 vs 20.76 ms head-fused
+# DCN); 2 loses (22.84 — the lax.cond's carried-vreg overhead per gated
+# block overtakes the saved rows).
+BLK_ROWS = int(_os.environ.get("E2FGVI_DCN_BLKROWS", "4"))
 
 
 def _n_strips(hp: int) -> int:
@@ -129,8 +156,9 @@ def band_for_warp_bound(max_abs_flow_y: float) -> int | None:
 
 
 def _sampler_kernel(lo_ref, hi_ref, src_ref, py_ref, px_ref, m_ref,
-                    out_ref, acc_ref, *, band, cg, hp, wp, dy_lo, dtype,
-                    dynamic_bounds, strips=1, k=1, packed=False, nx=1):
+                    out_ref, acc_ref=None, *, band, cg, hp, wp, dy_lo,
+                    dtype, dynamic_bounds, strips=1, k=1, packed=False,
+                    nx=1, regacc=False, blk_rows=8):
     py = py_ref[0, 0]
     px = px_ref[0, 0]
     x0 = jnp.clip(jnp.floor(px), 0, nx * wp - 2).astype(jnp.int32)
@@ -199,8 +227,29 @@ def _sampler_kernel(lo_ref, hi_ref, src_ref, py_ref, px_ref, m_ref,
         flat = (i * k + t) * strips
     sh = hp // strips
 
-    for c in range(cg):
-        acc_ref[c] = jnp.zeros((hp, wpx), gdt)
+    def tap_rows(sm, x0_s, x1_s, w0, w1):
+        """One band row's contribution on a strip slab: gather both
+        bilinear-x corners and apply their weights."""
+        if packed:
+            # int32 lanes pack (bf16 src[y,x] << 16 | bf16 src[y,x+1]):
+            # ONE gather per (c, row), unpacked by two bit-ops — the f32
+            # values and FMA order are identical to the two-gather form
+            # (bf16 -> f32 upcast is a pure bit shift), so the result is
+            # bit-exact (A/B: 34.1 -> 28.9 ms on the full-sweep tile,
+            # exp_dcn_inner_r04)
+            gth = gather_x(sm, x0_s)
+            g0 = jax.lax.bitcast_convert_type(
+                gth & jnp.int32(-65536), jnp.float32)
+            g1 = jax.lax.bitcast_convert_type(gth << 16, jnp.float32)
+        else:
+            sm = sm.astype(gdt)
+            g0 = gather_x(sm, x0_s)
+            g1 = gather_x(sm, x1_s)
+        return g0 * w0 + g1 * w1
+
+    if not regacc:
+        for c in range(cg):
+            acc_ref[c] = jnp.zeros((hp, wpx), gdt)
 
     for s in range(strips):
         r0, r1 = s * sh, (s + 1) * sh
@@ -212,9 +261,56 @@ def _sampler_kernel(lo_ref, hi_ref, src_ref, py_ref, px_ref, m_ref,
             py_s, x0_s, x1_s = py, x0, x1
             wx0_s, wx1_s = wx0, wx1
             rows_s = rows
+        br = blk_rows if regacc else 8
+
         if dynamic_bounds:
-            lo_blk = lo_ref[flat + s] // 8
-            hi_blk = (hi_ref[flat + s] + 7) // 8
+            lo_blk = lo_ref[flat + s] // br
+            hi_blk = (hi_ref[flat + s] + (br - 1)) // br
+
+        def blk_weights(bi):
+            base = float(dy_lo + bi * br)
+            wps = []
+            for r in range(br):
+                wy = jax.nn.relu(
+                    1.0 - jnp.abs(py_s - (rows_s + (base + r))))
+                wps.append(((wy * wx0_s).astype(gdt),
+                            (wy * wx1_s).astype(gdt)))
+            return wps
+
+        if regacc:
+            # Register-accumulation sweep: the strip's (cg, sh, wpx)
+            # accumulator rides as vregs carried through lax.cond — no
+            # VMEM scratch init/RMW/final-pass, the output slab is
+            # written exactly once per strip. Skipped blocks cost one
+            # scalar branch. Zero-weight rows contribute nothing, so the
+            # skip is exact (same argument as the pl.when form).
+            accs = [jnp.zeros((sh, wpx), gdt) for _ in range(cg)]
+            for bi in range(band // br):
+
+                def blk_add(accs, bi=bi, x0_s=x0_s, x1_s=x1_s, r0=r0):
+                    wps = blk_weights(bi)
+                    new = []
+                    for c in range(cg):
+                        acc = accs[c]
+                        for r in range(br):
+                            sm = src_ref[0, c, r0 + bi * br + r:
+                                         r0 + bi * br + r + sh, :]
+                            w0, w1 = wps[r]
+                            acc = acc + tap_rows(sm, x0_s, x1_s, w0, w1)
+                        new.append(acc)
+                    return new
+
+                if dynamic_bounds:
+                    accs = jax.lax.cond(
+                        (bi >= lo_blk) & (bi < hi_blk), blk_add,
+                        lambda a: a, accs)
+                else:
+                    accs = blk_add(accs)
+            m_s = m[r0:r1] if strips > 1 else m
+            for c in range(cg):
+                out_ref[0, 0, c, r0:r1, :] = accs[c].astype(dtype) * m_s
+            continue
+
         # 8-row BLOCK granularity for the pl.when skip: per-block
         # accumulation stays in registers (one VMEM read-modify-write of
         # the strip slab per block). A row-granular pl.when was A/B'd and
@@ -224,40 +320,15 @@ def _sampler_kernel(lo_ref, hi_ref, src_ref, py_ref, px_ref, m_ref,
         # skipped rows save.
         for bi in range(band // 8):
 
-            def blk(bi=bi, py_s=py_s, x0_s=x0_s, x1_s=x1_s, wx0_s=wx0_s,
-                    wx1_s=wx1_s, rows_s=rows_s, r0=r0, r1=r1):
-                base = float(dy_lo + bi * 8)
-                wps = []
-                for r in range(8):
-                    wy = jax.nn.relu(
-                        1.0 - jnp.abs(py_s - (rows_s + (base + r))))
-                    wps.append(((wy * wx0_s).astype(gdt),
-                                (wy * wx1_s).astype(gdt)))
+            def blk(bi=bi, x0_s=x0_s, x1_s=x1_s, r0=r0, r1=r1):
+                wps = blk_weights(bi)
                 for c in range(cg):
                     acc = acc_ref[c, r0:r1]
                     for r in range(8):
                         sm = src_ref[0, c, r0 + bi * 8 + r:
                                      r0 + bi * 8 + r + (r1 - r0), :]
                         w0, w1 = wps[r]
-                        if packed:
-                            # int32 lanes pack (bf16 src[y,x] << 16 |
-                            # bf16 src[y,x+1]): ONE gather per (c, row),
-                            # unpacked by two bit-ops — the f32 values and
-                            # FMA order are identical to the two-gather
-                            # form (bf16 -> f32 upcast is a pure bit
-                            # shift), so the result is bit-exact
-                            # (A/B: 34.1 -> 28.9 ms on the full-sweep
-                            # tile, exp_dcn_inner_r04)
-                            g = gather_x(sm, x0_s)
-                            g0 = jax.lax.bitcast_convert_type(
-                                g & jnp.int32(-65536), jnp.float32)
-                            g1 = jax.lax.bitcast_convert_type(
-                                g << 16, jnp.float32)
-                        else:
-                            sm = sm.astype(gdt)
-                            g0 = gather_x(sm, x0_s)
-                            g1 = gather_x(sm, x1_s)
-                        acc = acc + g0 * w0 + g1 * w1
+                        acc = acc + tap_rows(sm, x0_s, x1_s, w0, w1)
                     acc_ref[c, r0:r1] = acc
 
             if dynamic_bounds:
@@ -265,8 +336,9 @@ def _sampler_kernel(lo_ref, hi_ref, src_ref, py_ref, px_ref, m_ref,
             else:
                 blk()
 
-    for c in range(cg):
-        out_ref[0, 0, c] = acc_ref[c].astype(dtype) * m
+    if not regacc:
+        for c in range(cg):
+            out_ref[0, 0, c] = acc_ref[c].astype(dtype) * m
 
 
 def _pack_pairs(xs):
@@ -282,24 +354,28 @@ def _pack_pairs(xs):
 
 @functools.lru_cache(maxsize=None)
 def _build_sampler(ng, k, cg, hp, wp, band, dy_lo, dtype_name, interpret,
-                   light=False, strips=1, packed=False, nx=1):
+                   light=False, strips=1, packed=False, nx=1,
+                   regacc=False, blk_rows=8):
     dtype = jnp.dtype(dtype_name).type
     hs = hp + band
+    if band % blk_rows:
+        blk_rows = 8
     kern = functools.partial(_sampler_kernel, band=band, cg=cg, hp=hp,
                              wp=wp, dy_lo=dy_lo, dtype=dtype,
                              dynamic_bounds=not light,
                              strips=strips if not light else 1, k=k,
-                             packed=packed, nx=nx)
+                             packed=packed, nx=nx, regacc=regacc,
+                             blk_rows=blk_rows)
     wp = wp * nx   # total lane width of every block below
     gdt = jnp.float32 if dtype == jnp.bfloat16 else dtype
-    scratch = [pltpu.VMEM((cg, hp, wp), gdt)]
+    scratch = [] if regacc else [pltpu.VMEM((cg, hp, wp), gdt)]
     if light:
         # full-band sweep, no scalar args — for interpret mode and CPU
         # backends (the interpreter is pathologically slow on dynamic trip
         # counts and scalar-prefetch grid specs)
-        def kern_i(src_ref, py_ref, px_ref, m_ref, out_ref, acc_ref):
+        def kern_i(src_ref, py_ref, px_ref, m_ref, out_ref, *acc_ref):
             kern(None, None, src_ref, py_ref, px_ref, m_ref, out_ref,
-                 acc_ref)
+                 *acc_ref)
 
         return pl.pallas_call(
             kern_i,
@@ -436,7 +512,7 @@ def flow_warp_banded(x, flow, *, band=32, interpret=False, light=None):
     sampler = _build_sampler(n * g, 1, cg, hp, LANES, band, dy_lo,
                              jnp.dtype(dtype).name, bool(interpret),
                              light=light, strips=strips, packed=packed,
-                             nx=nx)
+                             nx=nx, regacc=REGACC, blk_rows=BLK_ROWS)
     if light:
         sampled = sampler(xs, pyg, pxg, ones)
     else:
@@ -473,7 +549,8 @@ def _sample_and_contract(x, pyg, pxg, mg, row_lo, row_hi, w, b, *,
     sampler = _build_sampler(n * g, k, cg, hp, LANES, band, dy_lo,
                              jnp.dtype(dtype).name, bool(interpret),
                              light=light, strips=_n_strips(hp),
-                             packed=packed, nx=nx)
+                             packed=packed, nx=nx, regacc=REGACC,
+                             blk_rows=BLK_ROWS)
     if light:
         sampled = sampler(xs, pyg, pxg, mg)
     else:

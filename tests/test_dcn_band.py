@@ -184,6 +184,34 @@ def test_strip_bounds_row_gradient(rng):
                                rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.parametrize("blk_rows", [8, 4, 2])
+def test_regacc_sweep_matches_xla(rng, blk_rows, monkeypatch):
+    """The register-accumulation sweep (E2FGVI_DCN_REGACC: strip slabs
+    carried through lax.cond instead of the VMEM scratch) must be exact
+    at every gated-block granularity — the block rounding only ever adds
+    zero-weight rows. Reuses the strip-gradient scenario where different
+    strips need disjoint block ranges."""
+    from e2fgvi_tpu.kernels import dcn_band as bl
+    monkeypatch.setattr(bl, "REGACC", True)
+    monkeypatch.setattr(bl, "BLK_ROWS", blk_rows)
+    x, offset, mask, wgt, b = _inputs(rng, n=1, h=24, w=16, off_scale=0.0)
+    grad = np.linspace(-6.0, 6.0, 24, dtype=np.float32)
+    offset[..., 0] += grad[None, :, None, None, None]
+    offset[..., 0] += rng.uniform(-0.5, 0.5,
+                                  offset.shape[:-1]).astype(np.float32)
+    offset[..., 1] += rng.uniform(-3, 3,
+                                  offset.shape[:-1]).astype(np.float32)
+    want = modulated_deform_conv2d(jnp.asarray(x), jnp.asarray(offset),
+                                   jnp.asarray(mask), jnp.asarray(wgt),
+                                   jnp.asarray(b))
+    got = modulated_deform_conv2d_banded(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+        jnp.asarray(wgt), jnp.asarray(b), band=24, interpret=True,
+        light=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+
+
 def test_flow_warp_banded_row_gradient(rng):
     """Strip bounds on the warp path: flow_y gradient across rows."""
     from e2fgvi_tpu.kernels.dcn_band import flow_warp_banded
