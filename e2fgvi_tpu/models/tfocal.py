@@ -547,35 +547,16 @@ def _window_attention_fused(params, q, k, v, pq, scale, window_size,
         g = jnp.take(src, jnp.asarray(idx_pad.reshape(-1)), axis=2)
         return g.reshape(b * heads, t, nwin, s_pad, hd)
 
-    gmode = _env_choice("E2FGVI_ATTN_GATHER", "two", ("packed", "two"))
-    if gmode == "packed" and q.dtype == jnp.bfloat16:
-        # ONE int32 take instead of two bf16 takes with identical
-        # indices: k rides the high 16 bits, v the low. Unpack is exact
-        # (bf16 -> f32 widening appends zero bits, and the f32 -> bf16
-        # round trip of an exactly-representable value does not round).
-        # A/B harness: scripts/exp_kvpack_r05.py.
-        def pack(a, b_):
-            hi = jax.lax.bitcast_convert_type(a, jnp.uint16).astype(
-                jnp.uint32) << 16
-            lo = jax.lax.bitcast_convert_type(b_, jnp.uint16).astype(
-                jnp.uint32)
-            return (hi | lo).astype(jnp.int32)
-
-        src = jnp.concatenate([
-            pack(k.reshape(b * heads, t, h * w, hd),
-                 v.reshape(b * heads, t, h * w, hd)),
-            pack(pq[1].reshape(b * heads, t, nwh * nww, hd),
-                 pq[2].reshape(b * heads, t, nwh * nww, hd)),
-            jnp.zeros((b * heads, t, 1, hd), jnp.int32)], axis=2)
-        g = jnp.take(src, jnp.asarray(idx_pad.reshape(-1)), axis=2)
-        g = g.reshape(b * heads, t, nwin, s_pad, hd)
-        k_gath = jax.lax.bitcast_convert_type(
-            g & jnp.int32(-65536), jnp.float32).astype(jnp.bfloat16)
-        v_gath = jax.lax.bitcast_convert_type(
-            g << 16, jnp.float32).astype(jnp.bfloat16)
-    else:
-        k_gath = gather(k, pq[1])
-        v_gath = gather(v, pq[2])
+    # Two separate bf16 takes. A packed int32 single-take (k in the high
+    # 16 bits, v in the low — halves the row count at double row width)
+    # was A/B'd on-chip and LOST: takes 8.77 -> 11.65 ms, whole attention
+    # 25.97 -> 30.10 ms at the dedup table (exp_attn_r05; same direction
+    # at the full table). XLA's gather prefers the narrower 256 B rows —
+    # the opposite trade from the DCN sampler's lane-packed gather, whose
+    # rows are single vregs either way. Removed per the repo's
+    # measured-loser precedent (see also the r04 backend removals).
+    k_gath = gather(k, pq[1])
+    v_gath = gather(v, pq[2])
 
     nq = t * wh * ww
     nq_pad = -(-nq // 16) * 16

@@ -125,27 +125,6 @@ def test_fused_grad_matches_xla_reference():
                                    rtol=2e-5, atol=2e-5)
 
 
-def test_packed_kv_gather_bit_exact(monkeypatch):
-    """E2FGVI_ATTN_GATHER=packed (one int32 take, k high 16 bits / v low)
-    must be BIT-exact vs the two-take form — bf16 -> f32 widening is a
-    pure bit shift and the round trip back to bf16 does not round."""
-    heads = 2
-    params, x, pooled = _inputs()
-    params16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
-    q, k, v, pq = _qkv_maps(params16, x.astype(jnp.bfloat16),
-                            pooled.astype(jnp.bfloat16), heads)
-    hd = x.shape[-1] // heads
-    monkeypatch.setenv("E2FGVI_ATTN_GATHER", "two")
-    want = np.asarray(tfocal._window_attention_fused(
-        params16, q, k, v, pq, hd ** -0.5, (5, 9), (2, 4), None,
-        interpret=True))
-    monkeypatch.setenv("E2FGVI_ATTN_GATHER", "packed")
-    got = np.asarray(tfocal._window_attention_fused(
-        params16, q, k, v, pq, hd ** -0.5, (5, 9), (2, 4), None,
-        interpret=True))
-    np.testing.assert_array_equal(got, want)
-
-
 def test_dedupe_matches_full_multiset(monkeypatch):
     """E2FGVI_ATTN_DEDUPE=on (the default) collapses duplicate (key, bias)
     slots with a log-multiplicity bias — exp(l + ln n) = n exp(l), so the
