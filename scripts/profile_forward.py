@@ -51,8 +51,18 @@ def main():
         (rng.uniform(size=(T_VIDEO, H, W, 1)) < 0.1).astype(np.uint8))
     idx_enc = jnp.arange(CH, dtype=jnp.int32)
     feat = jnp.asarray(rng.standard_normal((B, T_WIN, HQ, WQ, C)), DTYPE)
+    # smooth flows with tennis-like magnitude (a few px at quarter res,
+    # |flow_y| max ~4.3): per-pixel N(0, 2) noise flows made every strip's
+    # vertical span cover the whole band, so feat_prop profiled the
+    # full-sweep worst case at band 48 instead of the serving path's
+    # gated sweep at the speculative band (r01-r04 profiles)
+    yy = np.linspace(0, 2 * np.pi, HS)[:, None]
+    xx = np.linspace(0, 2 * np.pi, WS)[None, :]
+    base = np.stack([np.sin(yy * 1.1) * np.cos(xx * 0.7),
+                     np.cos(yy * 0.9) * np.sin(xx * 1.3)], axis=-1)
     flows = jnp.asarray(
-        rng.standard_normal((B, N_LOCAL - 1, HS, WS, 2)) * 2, DTYPE)
+        3.0 * base[None, None]
+        + rng.standard_normal((B, N_LOCAL - 1, HS, WS, 2)) * 0.25, DTYPE)
     small_all = jnp.asarray(
         rng.uniform(size=(T_VIDEO, HS, WS, 3)), DTYPE)
     pidx = jnp.arange(CH, dtype=jnp.int32)
@@ -75,13 +85,17 @@ def main():
         b = jnp.take(sm, i + 1, axis=0)
         return e2fgvi.spynet_pairs(p["spynet"], a, b)
 
-    # match the real pipeline: the banded Pallas sampler with a band
-    # representative of the tennis bench (flows ~N(0,2) -> band ~13)
+    # match the real pipeline's SPECULATIVE band (data/pipeline.py stage
+    # 2.5): measured |flow_y| + RESIDUAL_MARGIN through
+    # band_for_offset_bound — the serving dispatch, not the worst-case
+    # band_for_flow_bound (which assumes the full tanh residual and
+    # profiled band 48 where serving runs 16-24)
     dcn_band = None
     if jax.default_backend() == "tpu":
-        from e2fgvi_tpu.kernels.dcn_band import band_for_flow_bound
-        dcn_band = band_for_flow_bound(float(np.abs(
-            np.asarray(flows[..., 1], np.float32)).max()))
+        from e2fgvi_tpu.kernels import dcn_band as bandlib
+        fy = float(np.abs(np.asarray(flows[..., 1], np.float32)).max())
+        dcn_band = bandlib.band_for_offset_bound(
+            fy + bandlib.RESIDUAL_MARGIN)
 
     @jax.jit
     def fp_stage(p, feat, ff, fb):
