@@ -23,6 +23,11 @@ import jax
 import jax.numpy as jnp
 
 _TIMING = bool(os.environ.get("E2FGVI_PIPELINE_TIMING"))
+# Ship frames up the tunnel as mod-256 temporal deltas (frame 0 of each
+# encode chunk absolute) and reconstruct with a wrapped cumsum on device
+# — bit-exact, and the delta stream compresses far better through the
+# axon tunnel's h2d compression (exp_link_r04/r05). Opt-out knob.
+_DELTA_UPLOAD = os.environ.get("E2FGVI_DELTA_UPLOAD", "1") != "0"
 
 
 def neighbor_ids(f: int, video_length: int, stride: int = 5) -> list:
@@ -142,6 +147,15 @@ class SlidingWindowInpainter:
             bits = (mw_bits[..., None] >> jnp.arange(7, -1, -1,
                                                      dtype=jnp.uint8)) & 1
             mw = bits.reshape(ch, h_, w_, 1)
+            if _DELTA_UPLOAD:
+                # frames ride the tunnel as mod-256 temporal deltas
+                # (frame 0 absolute): video is temporally correlated, so
+                # the delta stream is far more compressible and the axon
+                # tunnel compresses h2d payloads (exp_link_r04). The
+                # uint8-wrapped cumsum reconstructs the original bytes
+                # EXACTLY ((a - b) % 256 summed mod 256 telescopes), so
+                # the compute graph below sees bit-identical input.
+                fw = jnp.cumsum(fw.astype(jnp.int32), axis=0) % 256
             f = fw.astype(jnp.float32) / 255.0 * 2.0 - 1.0
             masked = (f * (1.0 - mw.astype(jnp.float32))).astype(self.dtype)
             feat = e2fgvi.encode(params["encoder"], masked)
@@ -328,7 +342,15 @@ class SlidingWindowInpainter:
         feats, smalls = [], []
         hpad, wpad = frames_u8.shape[1:3]
         for s in range(0, t_bucket, ch):
-            df = jax.device_put(frames_u8[s: s + ch])
+            fch = frames_u8[s: s + ch]
+            if _DELTA_UPLOAD:
+                # mod-256 temporal delta (chunk row 0 absolute): lossless
+                # under the device-side wrapped cumsum in _encode_chunk,
+                # and far more compressible for the tunnel's h2d codec
+                fch = np.concatenate(
+                    [fch[:1], fch[1:].astype(np.int16)
+                     - fch[:-1].astype(np.int16)]).astype(np.uint8)
+            df = jax.device_put(fch)
             packed = np.packbits(
                 masks_u8[s: s + ch].reshape(ch, -1), axis=-1)
             dm = jax.device_put(packed)

@@ -554,7 +554,9 @@ def _window_attention_fused(params, q, k, v, pq, scale, window_size,
     # at the full table). XLA's gather prefers the narrower 256 B rows —
     # the opposite trade from the DCN sampler's lane-packed gather, whose
     # rows are single vregs either way. Removed per the repo's
-    # measured-loser precedent (see also the r04 backend removals).
+    # measured-loser precedent (see also the r04 backend removals); a
+    # deployment still pinning the removed value fails loudly here.
+    _env_choice("E2FGVI_ATTN_GATHER", "two", ("two",))
     k_gath = gather(k, pq[1])
     v_gath = gather(v, pq[2])
 
